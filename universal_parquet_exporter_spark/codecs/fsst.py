@@ -1,0 +1,284 @@
+"""FSST-style string compression (Fast Static Symbol Table).
+
+A static table of ≤255 symbols, each 1-8 bytes; the encoded stream is one
+byte per symbol occurrence, with byte 255 as an escape prefix for bytes no
+symbol covers.  Decode is exact concatenation — lossless by construction.
+
+Public-knowledge design (Boncz, Neumann, Leis: "FSST: Fast Random Access
+String Compression", VLDB 2020).  This implementation is original:
+
+- **train** (:func:`fsst_train`): bounded iterative table construction on a
+  ≤64 KiB sample — parse sample with current table, count symbol-pair
+  concatenations, keep the top-gain candidates (5 rounds).
+- **encode** (:func:`fsst_encode`): per-position longest-match lengths are
+  precomputed fully vectorized (8-byte little-endian windows +
+  ``np.searchsorted`` per symbol length); the final greedy walk is a tight
+  Python loop over plain lists (~the only non-vectorized loop in the
+  engine, O(output symbols), amortized by the vectorized match phase).
+- **decode** (:func:`fsst_decode`): fully vectorized (escape-run parity,
+  per-code lengths, cumsum offsets, one fancy-index gather).
+
+Applies to high-entropy string/binary data buffers (``url``, ``text``;
+FIXTURES.md §1) where dictionary encoding loses.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ._native import get_native
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_LEN = 8
+SAMPLE_BYTES = 1 << 16
+TRAIN_ROUNDS = 5
+
+
+@dataclass
+class FsstTable:
+    symbols: list[bytes]  # index == code byte
+    _arrays: tuple | None = field(default=None, repr=False, compare=False)
+
+    def to_meta(self) -> dict:
+        return {"lens": [len(s) for s in self.symbols]}
+
+    def table_buffer(self) -> bytes:
+        return b"".join(self.symbols)
+
+    def native_arrays(self):
+        """(sym_flat u8, sym_off i32, sym_len i32, grouped u8, first_off i32)
+        — symbol codes grouped by first byte, length-desc within a group,
+        for the C longest-match scan."""
+        if self._arrays is None:
+            lens = np.array([len(s) for s in self.symbols], dtype=np.int32)
+            offs = np.zeros(len(self.symbols) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offs[1:])
+            flat = np.frombuffer(self.table_buffer(), dtype=np.uint8)
+            by_first: dict[int, list[int]] = {}
+            for code, sym in enumerate(self.symbols):
+                by_first.setdefault(sym[0], []).append(code)
+            grouped_list: list[int] = []
+            first_off = np.zeros(257, dtype=np.int32)
+            for b in range(256):
+                first_off[b] = len(grouped_list)
+                codes = by_first.get(b, [])
+                codes.sort(key=lambda c: (-len(self.symbols[c]), c))
+                grouped_list.extend(codes)
+            first_off[256] = len(grouped_list)
+            grouped = np.array(grouped_list, dtype=np.uint8)
+            self._arrays = (flat, offs[:-1].copy(), lens, grouped, first_off)
+        return self._arrays
+
+    @staticmethod
+    def from_meta(meta: dict, buf: bytes) -> "FsstTable":
+        out, pos = [], 0
+        for ln in meta["lens"]:
+            out.append(buf[pos : pos + ln])
+            pos += ln
+        return FsstTable(out)
+
+
+def _parse_greedy(data: bytes, lookup: dict[bytes, int]) -> list[bytes]:
+    """Greedy longest-match parse used during training (small sample only).
+    Returns the token sequence (symbols and 1-byte literals)."""
+    tokens: list[bytes] = []
+    i, n = 0, len(data)
+    max_len = max((len(s) for s in lookup), default=1)
+    while i < n:
+        match = None
+        top = min(max_len, n - i)
+        for ln in range(top, 0, -1):
+            cand = data[i : i + ln]
+            if cand in lookup:
+                match = cand
+                break
+        if match is None:
+            match = data[i : i + 1]
+        tokens.append(match)
+        i += len(match)
+    return tokens
+
+
+def fsst_train(sample: bytes) -> FsstTable:
+    """Build a symbol table from a sample (bounded iterative construction)."""
+    sample = sample[:SAMPLE_BYTES]
+    if not sample:
+        return FsstTable([])
+    table: list[bytes] = []
+    for _ in range(TRAIN_ROUNDS):
+        lookup = {s: i for i, s in enumerate(table)}
+        tokens = _parse_greedy(sample, lookup)
+        freq1: dict[bytes, int] = {}
+        freq2: dict[bytes, int] = {}
+        prev = None
+        for tok in tokens:
+            freq1[tok] = freq1.get(tok, 0) + 1
+            if prev is not None and len(prev) + len(tok) <= MAX_LEN:
+                cat = prev + tok
+                freq2[cat] = freq2.get(cat, 0) + 1
+            prev = tok
+        gains: dict[bytes, int] = {}
+        for s, f in freq1.items():
+            # single byte: saves the escape byte; longer: saves len-1 bytes
+            gains[s] = max(gains.get(s, 0), f * max(len(s) - 1, 1))
+        for s, f in freq2.items():
+            gains[s] = max(gains.get(s, 0), f * (len(s) - 1))
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        table = [s for s, g in ranked[:MAX_SYMBOLS] if g > 1]
+    return FsstTable(table)
+
+
+def _match_tables(table: FsstTable):
+    """Per symbol length: (sorted uint64 prefix values, code array)."""
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    tmp: dict[int, list[tuple[int, int]]] = {}
+    for code, sym in enumerate(table.symbols):
+        val = int.from_bytes(sym.ljust(8, b"\x00"), "little")
+        tmp.setdefault(len(sym), []).append((val, code))
+    for ln, pairs in tmp.items():
+        pairs.sort()
+        vals = np.array([p[0] for p in pairs], dtype=np.uint64)
+        codes = np.array([p[1] for p in pairs], dtype=np.uint8)
+        by_len[ln] = (vals, codes)
+    return by_len
+
+
+_LEN_MASKS = np.array(
+    [0] + [(1 << (8 * ln)) - 1 for ln in range(1, 8)] + [0xFFFFFFFFFFFFFFFF],
+    dtype=np.uint64,
+)
+
+_ENC_SLAB = 1 << 22  # positions per vectorized match slab (4 Mi)
+
+
+def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
+    """Encode a byte buffer with ``table``; returns the code stream."""
+    d = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(data, dtype=np.uint8)
+    n = d.size
+    if n == 0:
+        return b""
+    lib = get_native()
+    if lib is not None:
+        flat, offs, lens, grouped, first_off = table.native_arrays()
+        out = np.empty(2 * n, dtype=np.uint8)  # worst case: all escaped
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        m = lib.upes_fsst_encode(
+            d.ctypes.data_as(u8p), n,
+            flat.ctypes.data_as(u8p), offs.ctypes.data_as(i32p),
+            lens.ctypes.data_as(i32p), grouped.ctypes.data_as(u8p),
+            first_off.ctypes.data_as(i32p), out.ctypes.data_as(u8p),
+        )
+        return out[:m].tobytes()
+    by_len = _match_tables(table)
+    lengths = sorted(by_len.keys(), reverse=True)
+
+    match_len = np.zeros(n, dtype=np.uint8)
+    match_code = np.zeros(n, dtype=np.uint8)
+    padded = np.concatenate([d, np.zeros(8, dtype=np.uint8)])
+    for start in range(0, n, _ENC_SLAB):
+        stop = min(start + _ENC_SLAB, n)
+        win = np.lib.stride_tricks.sliding_window_view(padded[start : stop + 8], 8)[: stop - start]
+        w64 = np.ascontiguousarray(win).view(np.uint64).ravel()
+        ml = match_len[start:stop]
+        mc = match_code[start:stop]
+        for ln in lengths:
+            vals, codes = by_len[ln]
+            masked = w64 & _LEN_MASKS[ln]
+            idx = np.searchsorted(vals, masked)
+            idx_c = np.minimum(idx, vals.size - 1)
+            hit = (vals[idx_c] == masked) & (ml == 0)
+            if ln > 1:
+                # a symbol longer than the remaining tail must not match
+                tail = n - (start + np.flatnonzero(hit))
+                hit_pos = np.flatnonzero(hit)
+                ok = tail >= ln
+                hit = np.zeros_like(hit)
+                hit[hit_pos[ok]] = True
+            mc[hit] = codes[idx_c[hit]]
+            ml[hit] = ln
+
+    # greedy walk (sequential by nature; plain-list loop, O(#tokens))
+    ml_l = match_len.tolist()
+    mc_l = match_code.tolist()
+    d_l = d.tolist()
+    out = bytearray()
+    i = 0
+    append = out.append
+    while i < n:
+        ln = ml_l[i]
+        if ln:
+            append(mc_l[i])
+            i += ln
+        else:
+            append(ESCAPE)
+            append(d_l[i])
+            i += 1
+    return bytes(out)
+
+
+def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
+    """Vectorized inverse of :func:`fsst_encode`."""
+    codes = np.frombuffer(enc, dtype=np.uint8)
+    n = codes.size
+    if n == 0:
+        return b""
+    lib = get_native()
+    if lib is not None:
+        flat, offs, lens, _, _ = table.native_arrays()
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        total = lib.upes_fsst_decoded_size(codes.ctypes.data_as(u8p), n, lens.ctypes.data_as(i32p))
+        out = np.empty(total, dtype=np.uint8)
+        lib.upes_fsst_decode(
+            codes.ctypes.data_as(u8p), n,
+            flat.ctypes.data_as(u8p), offs.ctypes.data_as(i32p),
+            lens.ctypes.data_as(i32p), out.ctypes.data_as(u8p),
+        )
+        return out.tobytes()
+    # classify positions: escape markers / literals / symbol codes.
+    is_ff = codes == ESCAPE
+    # markers alternate within each maximal run of 0xFF bytes (run parity),
+    # except a run can start as a literal only if preceded by a marker —
+    # impossible, since a marker is itself 0xFF and would extend the run.
+    marker = np.zeros(n, dtype=bool)
+    if is_ff.any():
+        idx = np.flatnonzero(is_ff)
+        run_start = np.concatenate(([True], np.diff(idx) > 1))
+        run_id = np.cumsum(run_start) - 1
+        starts = idx[run_start]
+        offset = idx - starts[run_id]
+        marker[idx[offset % 2 == 0]] = True
+    literal = np.zeros(n, dtype=bool)
+    lit_src = np.flatnonzero(marker) + 1
+    # a marker is always followed by its literal byte inside the stream
+    literal[lit_src] = True
+    symbol = ~(marker | literal)
+
+    sym_lens = np.zeros(MAX_SYMBOLS + 1, dtype=np.int64)
+    for c, s in enumerate(table.symbols):
+        sym_lens[c] = len(s)
+    sym_flat = np.frombuffer(table.table_buffer(), dtype=np.uint8)
+    sym_offsets = np.zeros(MAX_SYMBOLS + 1, dtype=np.int64)
+    np.cumsum(sym_lens[:-1], out=sym_offsets[1:])
+
+    out_len = np.zeros(n, dtype=np.int64)
+    out_len[literal] = 1
+    out_len[symbol] = sym_lens[codes[symbol]]
+    total = int(out_len.sum())
+
+    src_start = np.zeros(n, dtype=np.int64)
+    src_start[literal] = sym_flat.size + np.flatnonzero(literal)
+    src_start[symbol] = sym_offsets[codes[symbol]]
+    source = np.concatenate([sym_flat, codes])
+
+    out_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_len[:-1], out=out_off[1:])
+    pos_of_byte = np.repeat(src_start, out_len) + (
+        np.arange(total, dtype=np.int64) - np.repeat(out_off, out_len)
+    )
+    return source[pos_of_byte].tobytes()

@@ -1,0 +1,17 @@
+"""Encode pipeline: Arrow column chunks → codec containers → Spark sink.
+
+Layers:
+
+- :mod:`.chunk` — per-column encode/decode of Arrow arrays with the
+  cost-model auto-selector (SURVEY.md §2C);
+- :mod:`.container` — (de)serialization of encoded chunks to a binary
+  payload + JSON meta;
+- :mod:`.pipeline` — the distributed job: size-aware partition planning,
+  ``mapInArrow`` encode, Parquet sink, lineage/metrics, checkpointed
+  resume, and the decode (read-back) path.
+"""
+
+from .chunk import decode_array, encode_array
+from .container import deserialize_chunk, serialize_chunk
+
+__all__ = ["encode_array", "decode_array", "serialize_chunk", "deserialize_chunk"]

@@ -1,0 +1,87 @@
+"""Binary container for an encoded chunk: JSON meta + packed buffers.
+
+Layout: ``[4B magic][4B meta_len][meta JSON][buffers...]`` with per-buffer
+(offset, length) recorded in the meta.  Deterministic bytes for identical
+input — required for checkpointed-resume idempotency (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from .chunk import decode_array, encode_array
+
+_MAGIC = b"UPE1"
+
+
+def serialize_chunk(batch: pa.RecordBatch | pa.Table) -> tuple[bytes, dict]:
+    """Encode every column of a record batch; returns (payload, report).
+
+    ``report`` carries per-column codec choices and byte counts for the
+    lineage/metrics table (engine analog of the reference's export summary,
+    ``/root/reference/examples/advanced_integration_example.py:283-297``).
+    """
+    cols = []
+    all_bufs: list[bytes] = []
+    report_cols = []
+    for name in batch.schema.names:
+        col = batch.column(batch.schema.get_field_index(name))
+        meta, bufs = encode_array(name, col)
+        lens = [len(b) for b in bufs]
+        meta["buf_lens"] = lens
+        cols.append(meta)
+        all_bufs.extend(bufs)
+        in_bytes = col.nbytes if hasattr(col, "nbytes") else 0
+        report_cols.append(
+            {
+                "name": name,
+                "codec": _codec_label(meta),
+                "bytes_in": int(in_bytes),
+                "bytes_out": int(sum(lens)),
+            }
+        )
+    meta_doc = {"n": batch.num_rows, "cols": cols}
+    meta_json = json.dumps(meta_doc, separators=(",", ":")).encode()
+    payload = b"".join(
+        [_MAGIC, len(meta_json).to_bytes(4, "little"), meta_json, *all_bufs]
+    )
+    report = {
+        "rows": batch.num_rows,
+        "bytes_in": sum(c["bytes_in"] for c in report_cols),
+        "bytes_out": len(payload),
+        "columns": report_cols,
+    }
+    return payload, report
+
+
+def _codec_label(meta: dict) -> str:
+    enc = meta["enc"]
+    codec = enc.get("codec")
+    if codec == "varlen":
+        return f"varlen(lens={enc['lens']['codec']},data={enc['data']['codec']})"
+    if codec == "vdict":
+        return f"vdict(codes={enc['codes']['codec']},data={enc['dict_data']['codec']})"
+    if codec == "fbits":
+        return f"fbits({enc['inner']['codec']})"
+    return str(codec)
+
+
+def deserialize_chunk(payload: bytes) -> pa.Table:
+    """Exact inverse of :func:`serialize_chunk`."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("bad container magic")
+    meta_len = int.from_bytes(payload[4:8], "little")
+    meta_doc = json.loads(payload[8 : 8 + meta_len])
+    pos = 8 + meta_len
+    arrays = []
+    names = []
+    for col_meta in meta_doc["cols"]:
+        bufs = []
+        for ln in col_meta["buf_lens"]:
+            bufs.append(payload[pos : pos + ln])
+            pos += ln
+        arrays.append(decode_array(col_meta, bufs))
+        names.append(col_meta["name"])
+    return pa.table(dict(zip(names, arrays)))
