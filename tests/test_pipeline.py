@@ -1,0 +1,135 @@
+"""Distributed encode-job tests: round-trip bit-identity, size vs the
+Parquet/Snappy control, checkpointed resume, skew-aware planning.
+
+These are the engine-level analogs of the reference's integration tests
+(``/root/reference/tests/test_parquet_writer.py:38-58`` round-trip;
+``examples/advanced_integration_example.py:80-114`` orchestration)."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from universal_parquet_exporter_spark.encode.pipeline import (
+    EncodeJobConfig,
+    completed_units,
+    decode_dataset,
+    encode_job,
+    load_or_build_plan,
+)
+from universal_parquet_exporter_spark.fixtures import generate_webpages
+from universal_parquet_exporter_spark.plans.partitioning import EncodePlan, assign_units
+
+N_ROWS = 8000
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    df = generate_webpages(spark, N_ROWS, partitions=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="upes_job_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mismatches(df, dec):
+    j = df.alias("a").join(dec.alias("b"), "url", "full")
+    return j.where(
+        ~F.col("a.warc_ts").eqNullSafe(F.col("b.warc_ts"))
+        | ~F.col("a.text").eqNullSafe(F.col("b.text"))
+        | ~F.col("a.lang").eqNullSafe(F.col("b.lang"))
+        | ~F.col("a.html").eqNullSafe(F.col("b.html"))
+    ).count()
+
+
+def test_encode_decode_bit_identical(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    metrics = encode_job(spark, webpages, cfg)
+    assert metrics["rows"] == N_ROWS
+    assert metrics["encoded_units"] == metrics["plan_units"]
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS
+    assert _mismatches(webpages, dec) == 0  # byte-identical text per url
+
+
+def test_compressed_size_beats_snappy_control(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    metrics = encode_job(spark, webpages, cfg)
+    control_dir = os.path.join(outdir, "control")
+    webpages.write.mode("overwrite").parquet(control_dir)  # snappy default = reference A8
+    control_bytes = sum(
+        os.path.getsize(os.path.join(control_dir, f))
+        for f in os.listdir(control_dir)
+        if f.endswith(".parquet")
+    )
+    assert metrics["bytes_out"] <= control_bytes, (
+        f"encoded {metrics['bytes_out']} > control {control_bytes}"
+    )
+
+
+def test_resume_skips_completed_units(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    plan = load_or_build_plan(webpages, cfg)
+    assert plan.n_units >= 2
+
+    # simulate a partial run: encode only units < k, with lineage
+    k = plan.n_units // 2
+    bjson = plan.to_json()
+
+    def tag(iterator):
+        import pyarrow as pa
+
+        p = EncodePlan.from_json(bjson)
+        for batch in iterator:
+            keys = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            units = assign_units(keys, p)
+            yield batch.append_column("__unit", pa.array(units, type=pa.int64()))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in webpages.schema.fields)
+    subset = (
+        webpages.mapInArrow(tag, schema + ", __unit long")
+        .where(F.col("__unit") < k)
+        .drop("__unit")
+    )
+    m1 = encode_job(spark, subset, cfg)
+    assert m1["encoded_units"] == k
+    assert completed_units(spark, outdir) == set(range(k))
+
+    # full rerun resumes: only the remaining units get encoded
+    m2 = encode_job(spark, webpages, cfg)
+    assert m2["resumed_units"] == k
+    assert m2["encoded_units"] == plan.n_units  # totals from the sink
+
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS
+    assert dec.groupBy("url").count().where("count > 1").count() == 0  # exactly once
+    assert _mismatches(webpages, dec) == 0
+
+
+def test_plan_determinism_and_balance(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    p1 = load_or_build_plan(webpages, cfg)
+    p2 = load_or_build_plan(webpages, cfg)  # must reload identical from disk
+    assert p1.boundaries == p2.boundaries and p1.salts == p2.salts
+    encode_job(spark, webpages, cfg)
+    df = spark.read.parquet(os.path.join(outdir, "data")).select("unit", "bytes_in")
+    sizes = np.array([r.bytes_in for r in df.collect()], dtype=float)
+    cv = sizes.std() / sizes.mean()
+    assert cv < 1.0, f"unit byte sizes too imbalanced (cv={cv:.2f}): {sorted(sizes)}"
+
+
+def test_decode_column_pruning(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    dec = decode_dataset(spark, outdir, columns=["url", "lang"])
+    assert dec.columns == ["url", "lang"]
+    assert dec.count() == N_ROWS

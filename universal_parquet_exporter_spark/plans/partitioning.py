@@ -1,0 +1,133 @@
+"""Size-aware range partitioning with skew salting (SURVEY.md §7 Phase 4).
+
+The reference has no partitioning at all — one file per query
+(``/root/reference/examples/basic_integration_example.py:101-116``).  At
+10^12-document scale the encode units must (a) be byte-balanced — row
+counts lie when ``text``/``html`` lengths are Zipf-skewed — and (b) have
+*deterministic identity* so a resumed job can skip completed units.
+
+Strategy: sample ``(key, size_proxy)``, compute range boundaries over the
+sort key that equalize cumulative bytes, then split any unit whose
+estimated bytes still exceed ``hot_factor × target`` (a pathologically hot
+key range, e.g. one giant host) into hash-salted sub-units.  The plan is
+persisted as JSON next to the output so reruns reuse identical boundaries
+(AQE can rebalance shuffles, but it cannot give a custom encode stage
+stable unit identity — this planner can)."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class EncodePlan:
+    key_col: str
+    boundaries: list[str]  # len B-1 upper-exclusive cut points → B buckets
+    salts: list[int]  # per bucket: number of hash-salt sub-units (≥1)
+    unit_offsets: list[int] = field(default_factory=list)  # bucket → first unit id
+
+    def __post_init__(self):
+        if not self.unit_offsets:
+            offs, acc = [], 0
+            for s in self.salts:
+                offs.append(acc)
+                acc += s
+            self.unit_offsets = offs
+
+    @property
+    def n_units(self) -> int:
+        return self.unit_offsets[-1] + self.salts[-1] if self.salts else 0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"key_col": self.key_col, "boundaries": self.boundaries, "salts": self.salts},
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "EncodePlan":
+        d = json.loads(s)
+        return EncodePlan(d["key_col"], d["boundaries"], d["salts"])
+
+
+def plan_encode(
+    df,
+    key_col: str,
+    size_cols: list[str],
+    target_bytes: int = 128 << 20,
+    sample_rows: int = 100_000,
+    hot_factor: float = 2.0,
+    seed: int = 42,
+) -> EncodePlan:
+    """Sample the input and build an :class:`EncodePlan`.
+
+    ``size_cols`` are the variable-width columns whose byte lengths proxy
+    the per-row encode cost (e.g. ``["text", "html"]``)."""
+    from pyspark.sql import functions as F
+
+    total_rows = df.count()
+    if total_rows == 0:
+        return EncodePlan(key_col, [], [1])
+    fraction = min(1.0, sample_rows / total_rows)
+    size_expr = None
+    for c in size_cols:
+        e = F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")
+        size_expr = e if size_expr is None else size_expr + e
+    sample = (
+        df.sample(fraction=fraction, seed=seed)
+        .select(F.col(key_col).alias("k"), size_expr.alias("sz"))
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return EncodePlan(key_col, [], [1])
+    sample = sample.sort_values("k").reset_index(drop=True)
+    scale = total_rows / len(sample)
+    total_bytes_est = float(sample["sz"].sum()) * scale
+    n_buckets = max(1, int(np.ceil(total_bytes_est / target_bytes)))
+
+    cum = np.cumsum(sample["sz"].to_numpy(dtype=np.float64))
+    total = cum[-1]
+    # boundary i at cumulative fraction (i+1)/B
+    cuts = [(i + 1) / n_buckets * total for i in range(n_buckets - 1)]
+    idx = np.searchsorted(cum, cuts)
+    keys = sample["k"].to_numpy()
+    boundaries = sorted(set(str(keys[min(i, len(keys) - 1)]) for i in idx))
+    n_buckets = len(boundaries) + 1
+
+    # estimate bytes per bucket from the sample to find hot ranges
+    bucket_of = np.searchsorted(np.array(boundaries, dtype=object), keys, side="right")
+    est = np.zeros(n_buckets)
+    np.add.at(est, bucket_of, sample["sz"].to_numpy(dtype=np.float64) * scale)
+    salts = [max(1, int(np.ceil(b / (hot_factor * target_bytes)))) for b in est]
+    return EncodePlan(key_col, boundaries, salts)
+
+
+def assign_units(keys: np.ndarray, plan: EncodePlan) -> np.ndarray:
+    """Vectorized unit-id assignment for an array of key strings (used
+    inside the encode task's Arrow batches — no per-row Python)."""
+    bnd = np.array(plan.boundaries, dtype=object)
+    buckets = np.searchsorted(bnd, keys.astype(object), side="right")
+    salts = np.array(plan.salts, dtype=np.int64)
+    offsets = np.array(plan.unit_offsets, dtype=np.int64)
+    unit = offsets[buckets]
+    hot = salts[buckets] > 1
+    if hot.any():
+        h = _hash_strings(keys[hot])
+        unit[hot] = unit[hot] + (h % salts[buckets][hot].astype(np.uint64)).astype(np.int64)
+    return unit
+
+
+def _hash_strings(keys: np.ndarray) -> np.ndarray:
+    """Cheap vectorized FNV-1a over the first/last bytes of each key."""
+    out = np.full(keys.size, 0xCBF29CE484222325, dtype=np.uint64)
+    # operate on fixed-width prefix views to stay vectorized
+    as_bytes = (
+        np.array([k[-16:].encode("utf-8", "ignore")[:16] for k in keys], dtype="S16")
+        .view(np.uint8)
+        .reshape(keys.size, 16)
+    )
+    for j in range(16):
+        out = (out ^ as_bytes[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+    return out
