@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+DataFrame program (universal_parquet_exporter_spark.operators.*);
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares
+against (row count + schema + order-insensitive value hash).  Names are
+aliased identically on both sides.  Non-SQL-expressible ops (simhash's
+64-wide bit aggregation, the multimodal LSH variant's plan shape) are
+rows-only checks by design.
 """
 
 from __future__ import annotations
@@ -13,26 +15,295 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's
+    user_order_summary pattern (LEFT JOIN + grouped agg + COALESCE,
+    /root/reference/examples/advanced_integration_example.py:158-174)."""
+    return relational.q_join_left_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- reference relational surface (SURVEY.md §2B) ---
+        "projection_alias": relational.q_projection_alias,
+        "filter_compare": relational.q_filter_compare,
+        "filter_eq": relational.q_filter_eq,
+        "filter_between": relational.q_filter_between,
+        "filter_like": relational.q_filter_like,
+        "filter_in": relational.q_filter_in,
+        "filter_empty": relational.q_filter_empty,
+        "null_check": relational.q_null_check,
+        "join_inner": relational.q_join_inner,
+        "join_left_agg": relational.q_join_left_agg,
+        "join_compound": relational.q_join_compound,
+        "join_semi_distinct": relational.q_join_semi_distinct,
+        "join_chain": relational.q_join_chain,
+        "agg_global": relational.q_agg_global,
+        "agg_grouped": relational.q_agg_grouped,
+        "agg_count_distinct": relational.q_agg_count_distinct,
+        "agg_case_group": relational.q_agg_case_group,
+        "agg_having": relational.q_agg_having,
+        "scalar_funcs": relational.q_scalar_funcs,
+        "cte": relational.q_cte,
+        "window_rank_global": relational.q_window_rank_global,
+        "window_rownum": relational.q_window_rownum,
+        "window_rank_partitioned": relational.q_window_rank_partitioned,
+        "sort_multi": relational.q_sort_multi,
+        "limit_offset": relational.q_limit_offset,
+        "topk": relational.q_topk,
+        "distinct": relational.q_distinct,
+        "events_agg": relational.q_events_agg,
+        # --- training-data operators (dedup / similarity / text / media) ---
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+        "embed_topk": similarity.q_embed_topk,
+        "embed_ann_lsh": similarity.q_embed_ann_lsh,
+        "token_count": textstats.q_token_count,
+        "quality_score": textstats.q_quality_score,
+        "langid": textstats.q_langid,
+        "fingerprint": textstats.q_fingerprint,
+        "multimodal_meta": multimodal.q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), ' +')"
+_TOKHASH = "CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)"
+_MINHASH_PARAMS = [(7, 3), (11, 5), (13, 17), (19, 23), (29, 31), (37, 41), (43, 47), (53, 59)]
+_M = 2147483647
+
+
+def _minhash_sql(i: int) -> str:
+    a, b = _MINHASH_PARAMS[i]
+    return (
+        f"coalesce(list_min(list_transform({_TOKS}, x -> ({b} + {a} * {_TOKHASH}) % {_M})), {_M})"
+    )
+
+
+_NGRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 1)), "
+    f"i -> {_TOKS}[i] || '_' || {_TOKS}[i+1] || '_' || {_TOKS}[i+2]))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "projection_alias": "SELECT c_custkey AS user_id, c_name AS name, c_mktsegment AS segment FROM customer",
+        "filter_compare": "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price FROM orders WHERE o_totalprice > 150000.0",
+        "filter_eq": "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'",
+        "filter_between": "SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0",
+        "filter_like": "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
+        "filter_in": "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price FROM lineitem WHERE l_linenumber IN (1, 2)",
+        "filter_empty": "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 1000000.0",
+        "null_check": (
+            "SELECT c_custkey, c_name FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "WHERE o.o_orderkey IS NULL"
+        ),
+        "join_inner": (
+            "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total_price "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 200000.0"
+        ),
+        "join_left_agg": (
+            "SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS order_count, "
+            "round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS total_spent, "
+            "CASE WHEN count(o.o_totalprice) > 0 THEN floor((2 * sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) * 1 + count(o.o_totalprice)) / (2.0 * count(o.o_totalprice))) / 100.0 ELSE 0.0 END AS avg_order_value "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_custkey, c.c_name"
+        ),
+        "join_compound": (
+            "SELECT o_orderkey, l_linenumber, round(l_extendedprice, 2) AS price "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_linenumber IN (1, 2)"
+        ),
+        "join_semi_distinct": (
+            "SELECT DISTINCT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 250000.0"
+        ),
+        "join_chain": (
+            "SELECT r_name, n_name, count(o_orderkey) AS order_count, round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS revenue "
+            "FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey "
+            "JOIN customer c ON n.n_nationkey = c.c_nationkey "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "agg_global": (
+            "SELECT count(*) AS cnt, CASE WHEN count(l_quantity) > 0 THEN floor((2 * sum(CAST(round(l_quantity * 100) AS BIGINT)) * 100 + count(l_quantity)) / (2.0 * count(l_quantity))) / 10000.0 ELSE 0.0 END AS avg_qty, round(min(l_quantity), 2) AS min_qty, "
+            "round(max(l_quantity), 2) AS max_qty, round(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) / 100.0, 2) AS sum_price FROM lineitem"
+        ),
+        "agg_grouped": (
+            "SELECT l_returnflag, l_linestatus, round(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0) / 100.0, 2) AS sum_qty, "
+            "round(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) / 100.0, 2) AS sum_base_price, CASE WHEN count(l_discount) > 0 THEN floor((2 * sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 + count(l_discount)) / (2.0 * count(l_discount))) / 1000000.0 ELSE 0.0 END AS avg_disc, "
+            "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_count_distinct": (
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_customers, count(*) AS order_count "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "agg_case_group": (
+            "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 3000 THEN 'low' "
+            "WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS balance_bucket, "
+            "count(*) AS customers, CASE WHEN count(c_acctbal) > 0 THEN floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1 + count(c_acctbal)) / (2.0 * count(c_acctbal))) / 100.0 ELSE 0.0 END AS avg_balance "
+            "FROM customer GROUP BY 1"
+        ),
+        "agg_having": (
+            "SELECT o_custkey, count(*) AS order_count, round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS total_spent "
+            "FROM orders GROUP BY o_custkey HAVING count(*) > 3"
+        ),
+        "scalar_funcs": (
+            "SELECT o_orderpriority, datediff('day', min(o_orderdate), max(o_orderdate)) AS span_days, "
+            "round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS revenue, count(*) AS n, "
+            "CASE WHEN round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) > 1e7 THEN 'hot' "
+            "WHEN round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) > 1e6 THEN 'warm' ELSE 'cold' END AS tier "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "cte": (
+            "WITH order_stats AS (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS spend "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT c.c_mktsegment AS segment, count(*) AS customers, round(avg(os.cnt), 4) AS avg_orders, "
+            "round(sum(os.spend), 2) AS revenue "
+            "FROM customer c JOIN order_stats os ON c.c_custkey = os.o_custkey GROUP BY c.c_mktsegment"
+        ),
+        "window_rank_global": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS total_price, price_rank FROM ("
+            "SELECT o_orderkey, o_totalprice, rank() OVER (ORDER BY o_totalprice DESC) AS price_rank FROM orders"
+            ") WHERE price_rank <= 50"
+        ),
+        "window_rownum": (
+            "SELECT event_id, event_type, round(value, 2) AS value, rn FROM ("
+            "SELECT event_id, event_type, value, row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn FROM events"
+            ") WHERE rn <= 25"
+        ),
+        "window_rank_partitioned": (
+            "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price, rank_in_priority FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rank_in_priority FROM orders"
+            ") WHERE rank_in_priority <= 10"
+        ),
+        "sort_multi": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_regionkey DESC, n_name ASC"
+        ),
+        "limit_offset": "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5 OFFSET 3",
+        "topk": (
+            "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20"
+        ),
+        "distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "events_agg": (
+            "SELECT event_type, count(*) AS n, round(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) / 100.0, 2) AS sum_value, "
+            "epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us "
+            "FROM events GROUP BY event_type"
+        ),
+        # --- training-data operators ---
+        "dedup_exact": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM ("
+            "SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents"
+            ") WHERE rn = 1"
+        ),
+        "dedup_minhash": (
+            "SELECT doc_id, "
+            + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
+            + " FROM documents"
+        ),
+        "dedup_minhash_pairs": (
+            "WITH sig AS (SELECT doc_id AS id, "
+            + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
+            + " FROM documents), bands AS ("
+            + " UNION ALL ".join(
+                f"SELECT id, {i} AS band, concat(CAST(mh{2*i} AS VARCHAR), '_', CAST(mh{2*i+1} AS VARCHAR)) AS key FROM sig"
+                for i in range(4)
+            )
+            + ") SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b "
+            "ON a.band = b.band AND a.key = b.key AND a.id < b.id ORDER BY id_a, id_b"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH g AS (SELECT doc_id AS id, source AS grp, {_NGRAMS} AS ng FROM documents) "
+            "SELECT a.id AS id_a, b.id AS id_b, round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
+            "/ (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 4) AS jaccard "
+            "FROM g a JOIN g b ON a.grp = b.grp AND a.id < b.id "
+            "WHERE len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) > 0 "
+            "AND round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
+            "/ (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
+            "ORDER BY id_a, id_b"
+        ),
+        "embed_topk": (
+            "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20), "
+            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.v, c.v) AS s FROM q, c WHERE q.vec_id != c.vec_id) "
+            "SELECT query_id, neighbor_id, round(s, 4) AS sim FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rk FROM scored"
+            ") WHERE rk = 1"
+        ),
+        "token_count": (
+            f"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens, "
+            "length(text) AS n_chars FROM documents"
+        ),
+        "quality_score": (
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter({_TOKS}, t -> lower(t) IN ('the','a','of','and','to','in','is','on','for','with')))
+                END AS stop_hits,
+                length(replace(text, ' ', '')) AS nonspace
+              FROM documents)
+            SELECT doc_id, n_tokens,
+              round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+              round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+              round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+                least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+                + (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.3
+                + (CASE WHEN n_tokens > 0 AND CAST(nonspace AS DOUBLE) / n_tokens >= 3.0
+                        AND CAST(nonspace AS DOUBLE) / n_tokens <= 10.0 THEN 0.2 ELSE 0.0 END)
+              END, 4) AS quality
+            FROM t
+            """
+        ),
+        "langid": (
+            f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                CASE WHEN length(trim(text)) = 0 THEN [] ELSE list_transform({_TOKS}, x -> lower(x)) END AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+                len(list_filter(toks, t -> t IN ('der','und','die'))) AS s_de,
+                len(list_filter(toks, t -> t IN ('le','et','les'))) AS s_fr,
+                len(list_filter(toks, t -> t IN ('el','y','los'))) AS s_es
+              FROM t)
+            SELECT doc_id, lang,
+              CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                   WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+                   WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                   WHEN s_es > 0 THEN 'es'
+                   ELSE 'und' END AS lang_guess
+            FROM s
+            """
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(text) AS fp, "
+            "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS fp32 FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+            "CASE WHEN length(text) = 0 THEN 0 ELSE CAST(ord(substr(text, 1, 1)) AS INT) END AS first_byte, "
+            "CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS fake_width, "
+            "CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INT) AS fake_height "
+            "FROM documents"
+        ),
+        # dedup_simhash / embed_ann_lsh: rows-only (64-wide bit aggregation /
+        # plan-shape variants are not reasonably SQL-expressible)
+    }
+    return sql

@@ -1,0 +1,240 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, all Catalyst-native (no Python in the hot path):
+
+- **exact** — md5 fingerprint → hash groupBy; one shuffle, the winner per
+  group chosen by deterministic ``row_number`` (keep lowest id).
+- **MinHash + LSH** — word shingles → k seeded min-hashes → bands →
+  bucket join.  Candidate generation is ``groupBy(band_key)`` — at 100 TB
+  the only shuffle is on band keys, and the quadratic blow-up is bounded
+  per bucket instead of per corpus.
+- **SimHash** — 64-bit sign fingerprint of token-hash bit sums; near-dups
+  share all but a few bits, so banding its 4×16-bit slices gives cheap
+  Hamming-candidate buckets.
+- **n-gram Jaccard** — exact verification on candidate pairs (the
+  re-rank stage after any LSH family).
+
+Hashes are md5-derived (``conv(substr(md5(x),1,8),16,10)``) so the DuckDB
+oracles in ``__spark_entry__`` can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# (a, b) parameters of k=8 affine min-hash functions; primes, deterministic
+MINHASH_PARAMS = [
+    (7, 3),
+    (11, 5),
+    (13, 17),
+    (19, 23),
+    (29, 31),
+    (37, 41),
+    (43, 47),
+    (53, 59),
+]
+MERSENNE = 2147483647  # 2^31-1
+N_BANDS = 4  # 8 hashes → 4 bands of 2
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def token_hash(col):
+    """Deterministic 32-bit token hash reproducible in DuckDB:
+    first 8 hex chars of md5 as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens_expr(text_col):
+    """Whitespace tokens; empty text → empty array (cross-engine rule)."""
+    return F.when(
+        F.length(F.trim(text_col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text_col), " +"))
+
+
+def minhash_signature(text_col):
+    """Array of k min-hashes over the token set (JVM-side, vectorized)."""
+    toks = tokens_expr(text_col)
+    hashes = F.transform(toks, lambda x: token_hash(x))
+    sig = []
+    for a, b in MINHASH_PARAMS:
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashes, lambda h: (F.lit(b) + F.lit(a) * h) % F.lit(MERSENNE))
+                ),
+                F.lit(MERSENNE),
+            )
+        )
+    return F.array(*sig)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct ``text`` (lowest id wins).
+    One hash-shuffle on the fingerprint; at scale, group by the md5
+    instead of the full text so shuffle rows are small."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor ids after exact dedup over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", F.md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col("sig")[2 * i].cast("string"),
+                            F.col("sig")[2 * i + 1].cast("string"),
+                        ).alias("key"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures for every document (deterministic, oracle-able);
+    candidate pairs are exercised in q_dedup_minhash_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"))
+    cols = [sig[i].alias(f"mh{i}") for i in range(len(MINHASH_PARAMS))]
+    return docs.select("doc_id", *cols)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidates(docs).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_expr(text_col):
+    """32-bit SimHash: per-token md5 hash, sum of ±1 per bit, sign → bit."""
+    toks = tokens_expr(text_col)
+    hashes = F.transform(toks, lambda x: token_hash(x))
+    bits = []
+    for i in range(SIMHASH_BITS):
+        contrib = F.transform(
+            hashes,
+            lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        s = F.coalesce(F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v), F.lit(0))
+        bits.append(F.when(s > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bexpr in bits[1:]:
+        out = out + bexpr
+    return out
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (near-dups differ in few bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(text_col, n: int = 3):
+    toks = tokens_expr(text_col)
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws("_", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+            )
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs co-grouped by ``group_col`` (the
+    blocking key bounds the quadratic join; at web scale the blocking key
+    is an LSH band or a host)."""
+    g = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), ngram_set(F.col(text_col), n).alias("ng")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng")))
+    # |A∪B| = |A|+|B|-|A∩B| arithmetically, so both engines agree exactly
+    union = F.size(F.col("a.ng")) + F.size(F.col("b.ng")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within each source (blocking key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, group_col="source").orderBy("id_a", "id_b")

@@ -1,0 +1,122 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All pure Catalyst expressions (regex/length/
+array built-ins) — zero Python in the hot path, and every rule is
+reproducible in ANSI-ish SQL so the DuckDB oracles verify them exactly."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def token_count_expr(text_col):
+    """Whitespace token count; blank → 0 (cross-engine rule)."""
+    return F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text_col), " +"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# quality scoring: length/punctuation/stopword ratios -----------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def quality_exprs(text_col):
+    n_chars = F.length(text_col)
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,;:!?]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        (F.length(F.regexp_replace(text_col, " ", "")).cast("double") / n_tokens),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return n_tokens, punct_ratio, stop_ratio, avg_tok_len
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality features + a bucketed score, mirroring
+    length/punct/stopword heuristics used in web-corpus filtering."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens, punct_ratio, stop_ratio, avg_tok_len = quality_exprs(F.col("text"))
+    score = (
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+            + stop_ratio * 0.3
+            + F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), 0.2).otherwise(0.0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+# language ID: stopword-list n-gram heuristic --------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def langid_expr(text_col):
+    """Guess language from stopword hit counts; ties break by language
+    priority (en > de > fr > es), 'und' when no marker hits.  The exact
+    nested-CASE shape is mirrored in the DuckDB oracle."""
+    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    s = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    return (
+        F.when((s["en"] >= F.greatest(s["de"], s["fr"], s["es"])) & (s["en"] > 0), "en")
+        .when((s["de"] >= F.greatest(s["fr"], s["es"])) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", langid_expr(F.col("text")).alias("lang_guess"))
+
+
+# fingerprinting --------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: full md5 + a 32-bit integer prefix (the join
+    key for shard-local dedup maps)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("fp32"),
+    )
