@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline encode job and
+every driver-contract query at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "encode": {...}, "scaling": {...}}
+
+Extra keys: ``encode`` (GB/s + compressed-size ratio vs the Parquet/Snappy
+control — BASELINE.md rows 1-2) and ``scaling`` (same encode at N and 4N
+local cores on identical input; efficiency = (T_4N/T_N)/4 — BASELINE.md
+row 4).  Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip the scaling pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import universal_parquet_exporter_spark  # noqa: F401  (malloc tuning)
+from universal_parquet_exporter_spark.sources.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+ROWS_PER_SF = 2_000_000  # webpages fixture rows per unit scale factor
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    timings = {}
+    spark.range(10).count()  # session warmup outside any timing
+    for name, fn in em.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def encode_bench(spark, input_parquet: str, workdir: str, label: str, target_unit_bytes: int = 16 << 20) -> dict:
+    from universal_parquet_exporter_spark.encode.pipeline import (
+        EncodeJobConfig,
+        decode_dataset,
+        encode_job,
+    )
+
+    df = spark.read.parquet(input_parquet)
+    out = os.path.join(workdir, f"enc_{label}")
+    cfg = EncodeJobConfig(output_dir=out, target_unit_bytes=target_unit_bytes)
+    t0 = time.perf_counter()
+    metrics = encode_job(spark, df, cfg)
+    wall = time.perf_counter() - t0
+    gbps = metrics["bytes_in"] / wall / 1e9
+    return {
+        "wall_sec": round(wall, 3),
+        "bytes_in": metrics["bytes_in"],
+        "bytes_out": metrics["bytes_out"],
+        "ratio": round(metrics["ratio"], 4),
+        "gbps": round(gbps, 4),
+        "units": metrics["encoded_units"],
+        "rows": metrics["rows"],
+        "output_dir": out,
+    }
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_rows = max(int(ROWS_PER_SF * sf), 5000)
+    workdir = tempfile.mkdtemp(prefix="upes_bench_")
+    result: dict = {
+        "metric": "bench suite wall sec (queries + encode @ sf)",
+        "unit": "sec",
+        "sf": sf,
+    }
+    total_t0 = time.perf_counter()
+    try:
+        spark = build_session(app_name="upes-bench", cpus=CPUS, shuffle_partitions=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # 1. driver-contract queries
+        queries = run_queries(spark, SF_DIR)
+
+        # 2. materialize the deterministic webpages fixture once (generation
+        # excluded from encode timing)
+        from universal_parquet_exporter_spark.fixtures import generate_webpages
+
+        input_parquet = os.path.join(workdir, "webpages_in")
+        generate_webpages(spark, n_rows, partitions=CPUS).write.mode("overwrite").parquet(
+            input_parquet
+        )
+
+        # control: reference encode path = parquet/snappy (A8,
+        # /root/reference/src/export/parquet_writer.py:17)
+        control_dir = os.path.join(workdir, "control")
+        c0 = time.perf_counter()
+        spark.read.parquet(input_parquet).write.mode("overwrite").parquet(control_dir)
+        control_wall = time.perf_counter() - c0
+        control_bytes = sum(
+            os.path.getsize(os.path.join(control_dir, f))
+            for f in os.listdir(control_dir)
+            if f.endswith(".parquet")
+        )
+
+        enc = encode_bench(spark, input_parquet, workdir, f"main{CPUS}")
+        enc["control_bytes"] = control_bytes
+        enc["control_wall_sec"] = round(control_wall, 3)
+        enc["size_vs_control"] = round(enc["bytes_out"] / control_bytes, 4)
+
+        # quick decode spot-check: rows survive the round trip
+        from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
+
+        dec_rows = decode_dataset(spark, enc.pop("output_dir")).count()
+        enc["decode_rows_ok"] = bool(dec_rows == n_rows)
+        spark.stop()
+
+        # 3. scaling: same job, same input, N vs 4N cores
+        scaling = {}
+        if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
+            n_small = max(CPUS // 4, 1)
+            # unit size tuned so the 4N run has ≥4 units per core
+            unit_bytes = min(max(enc["bytes_in"] // (4 * CPUS), 4 << 20), 64 << 20)
+            runs = {}
+            for cores in (n_small, CPUS):
+                s = build_session(app_name=f"upes-scale-{cores}", cpus=cores, shuffle_partitions=cores)
+                s.sparkContext.setLogLevel("ERROR")
+                runs[cores] = encode_bench(
+                    s, input_parquet, workdir, f"scale{cores}", target_unit_bytes=unit_bytes
+                )
+                runs[cores].pop("output_dir", None)
+                s.stop()
+            t_n, t_4n = runs[n_small]["gbps"], runs[CPUS]["gbps"]
+            scaling = {
+                "cores_n": n_small,
+                "cores_4n": CPUS,
+                "gbps_n": t_n,
+                "gbps_4n": t_4n,
+                "efficiency": round((t_4n / t_n) / (CPUS / n_small), 4) if t_n else None,
+            }
+
+        result["queries"] = queries
+        result["encode"] = enc
+        result["scaling"] = scaling
+        result["value"] = round(time.perf_counter() - total_t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

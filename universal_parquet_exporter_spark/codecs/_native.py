@@ -54,20 +54,38 @@ void upes_bitunpack(const uint8_t* in, int64_t n, int width, uint64_t* out) {
 }
 
 /* grouped: symbol codes grouped by first byte, sorted length-desc within
-   a group; first_off[b]..first_off[b+1] is byte b's candidate range. */
+   a group; first_off[b]..first_off[b+1] is byte b's candidate range.
+   sym_val/sym_mask: little-endian 8-byte value/mask per symbol, so a
+   candidate check is one unaligned load + AND + compare. */
+static inline uint64_t load8(const uint8_t* p) {
+    uint64_t w;
+    memcpy(&w, p, 8);
+    return w;
+}
+
 int64_t upes_fsst_encode(const uint8_t* data, int64_t n,
-                         const uint8_t* sym_flat, const int32_t* sym_off,
+                         const uint64_t* sym_val, const uint64_t* sym_mask,
                          const int32_t* sym_len, const uint8_t* grouped,
                          const int32_t* first_off, uint8_t* out) {
     int64_t i = 0, pos = 0;
+    int64_t safe = n - 8;
     while (i < n) {
         uint8_t b = data[i];
         int32_t lo = first_off[b], hi = first_off[b + 1];
+        if (lo == hi) { out[pos++] = 255; out[pos++] = b; i += 1; continue; }
+        uint64_t w;
+        int64_t rem = n - i;
+        if (i <= safe) {
+            w = load8(data + i);
+        } else {
+            w = 0;
+            memcpy(&w, data + i, rem);
+        }
         int best = -1, bl = 0;
         for (int32_t k = lo; k < hi; k++) {
             int c = grouped[k];
             int l = sym_len[c];
-            if (l <= n - i && memcmp(data + i, sym_flat + sym_off[c], l) == 0) {
+            if (l <= rem && (w & sym_mask[c]) == sym_val[c]) {
                 best = c; bl = l; break;  /* length-desc order: first hit = longest */
             }
         }
@@ -137,7 +155,7 @@ def _build() -> "ctypes.CDLL | None":
     lib.upes_bitpack.restype = None
     lib.upes_bitunpack.argtypes = [u8p, i64, c_int, u64p]
     lib.upes_bitunpack.restype = None
-    lib.upes_fsst_encode.argtypes = [u8p, i64, u8p, i32p, i32p, u8p, i32p, u8p]
+    lib.upes_fsst_encode.argtypes = [u8p, i64, u64p, u64p, i32p, u8p, i32p, u8p]
     lib.upes_fsst_encode.restype = i64
     lib.upes_fsst_decoded_size.argtypes = [u8p, i64, i32p]
     lib.upes_fsst_decoded_size.restype = i64

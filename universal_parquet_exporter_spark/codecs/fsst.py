@@ -50,17 +50,22 @@ class FsstTable:
         return b"".join(self.symbols)
 
     def native_arrays(self):
-        """(sym_flat u8, sym_off i32, sym_len i32, grouped u8, first_off i32)
-        — symbol codes grouped by first byte, length-desc within a group,
-        for the C longest-match scan."""
+        """(sym_flat u8, sym_off i32, sym_len i32, grouped u8, first_off
+        i32, sym_val u64, sym_mask u64) — symbol codes grouped by first
+        byte, length-desc within a group, plus little-endian 8-byte
+        value/mask pairs for the C one-load candidate check."""
         if self._arrays is None:
             lens = np.array([len(s) for s in self.symbols], dtype=np.int32)
             offs = np.zeros(len(self.symbols) + 1, dtype=np.int32)
             np.cumsum(lens, out=offs[1:])
             flat = np.frombuffer(self.table_buffer(), dtype=np.uint8)
+            vals = np.zeros(max(len(self.symbols), 1), dtype=np.uint64)
+            masks = np.zeros(max(len(self.symbols), 1), dtype=np.uint64)
             by_first: dict[int, list[int]] = {}
             for code, sym in enumerate(self.symbols):
                 by_first.setdefault(sym[0], []).append(code)
+                vals[code] = int.from_bytes(sym.ljust(8, b"\x00"), "little")
+                masks[code] = (1 << (8 * len(sym))) - 1 if len(sym) < 8 else 0xFFFFFFFFFFFFFFFF
             grouped_list: list[int] = []
             first_off = np.zeros(257, dtype=np.int32)
             for b in range(256):
@@ -70,7 +75,7 @@ class FsstTable:
                 grouped_list.extend(codes)
             first_off[256] = len(grouped_list)
             grouped = np.array(grouped_list, dtype=np.uint8)
-            self._arrays = (flat, offs[:-1].copy(), lens, grouped, first_off)
+            self._arrays = (flat, offs[:-1].copy(), lens, grouped, first_off, vals, masks)
         return self._arrays
 
     @staticmethod
@@ -82,51 +87,76 @@ class FsstTable:
         return FsstTable(out)
 
 
-def _parse_greedy(data: bytes, lookup: dict[bytes, int]) -> list[bytes]:
-    """Greedy longest-match parse used during training (small sample only).
-    Returns the token sequence (symbols and 1-byte literals)."""
-    tokens: list[bytes] = []
-    i, n = 0, len(data)
-    max_len = max((len(s) for s in lookup), default=1)
-    while i < n:
-        match = None
-        top = min(max_len, n - i)
-        for ln in range(top, 0, -1):
-            cand = data[i : i + ln]
-            if cand in lookup:
-                match = cand
-                break
-        if match is None:
-            match = data[i : i + 1]
-        tokens.append(match)
-        i += len(match)
-    return tokens
+def _token_ids(sample: bytes, table: "FsstTable") -> np.ndarray:
+    """Greedy tokenization of the sample as an id stream (vectorized):
+    id < 256 → symbol code into ``table``; id ≥ 256 → literal byte
+    (id-256).  Runs the real encoder, then classifies its code stream."""
+    if not table.symbols:
+        return np.frombuffer(sample, dtype=np.uint8).astype(np.int32) + 256
+    enc = np.frombuffer(fsst_encode(sample, table), dtype=np.uint8)
+    n = enc.size
+    marker = np.zeros(n, dtype=bool)
+    is_ff = enc == ESCAPE
+    if is_ff.any():
+        idx = np.flatnonzero(is_ff)
+        run_start = np.concatenate(([True], np.diff(idx) > 1))
+        run_id = np.cumsum(run_start) - 1
+        starts = idx[run_start]
+        offset = idx - starts[run_id]
+        marker[idx[offset % 2 == 0]] = True
+    literal = np.zeros(n, dtype=bool)
+    lit_pos = np.flatnonzero(marker) + 1
+    literal[lit_pos[lit_pos < n]] = True
+    ids = enc.astype(np.int32)
+    ids[literal] += 256
+    return ids[~marker]
 
 
 def fsst_train(sample: bytes) -> FsstTable:
-    """Build a symbol table from a sample (bounded iterative construction)."""
+    """Build a symbol table from a sample — bounded iterative construction
+    (parse with current table, count adjacent-token concatenations, keep
+    the top-gain candidates), all counting vectorized with ``np.unique``."""
     sample = sample[:SAMPLE_BYTES]
     if not sample:
         return FsstTable([])
     table: list[bytes] = []
     for _ in range(TRAIN_ROUNDS):
-        lookup = {s: i for i, s in enumerate(table)}
-        tokens = _parse_greedy(sample, lookup)
-        freq1: dict[bytes, int] = {}
-        freq2: dict[bytes, int] = {}
-        prev = None
-        for tok in tokens:
-            freq1[tok] = freq1.get(tok, 0) + 1
-            if prev is not None and len(prev) + len(tok) <= MAX_LEN:
-                cat = prev + tok
-                freq2[cat] = freq2.get(cat, 0) + 1
-            prev = tok
+        def materialize(tid: int) -> bytes:
+            return table[tid] if tid < 256 else bytes([tid - 256])
+
+        # (ids < 256 always index into the current table; escapes are ≥ 256)
+
+        ids = _token_ids(sample, FsstTable(table))
+        lens = np.ones(512, dtype=np.int32)
+        for i, s in enumerate(table):
+            lens[i] = len(s)
+
+        uniq1, cnt1 = np.unique(ids, return_counts=True)
+        gain1 = cnt1 * np.maximum(lens[uniq1] - 1, 1)
+
+        a, b = ids[:-1], ids[1:]
+        ok = (lens[a] + lens[b]) <= MAX_LEN
+        pkey = a[ok].astype(np.int64) * 512 + b[ok]
+        uniq2, cnt2 = np.unique(pkey, return_counts=True)
+        la = lens[(uniq2 // 512).astype(np.int32)]
+        lb = lens[(uniq2 % 512).astype(np.int32)]
+        gain2 = cnt2 * (la + lb - 1)
+
+        # take a generous top slice, materialize bytes, dedupe by max gain
+        order1 = np.argsort(-gain1)[: 2 * MAX_SYMBOLS]
+        order2 = np.argsort(-gain2)[: 2 * MAX_SYMBOLS]
         gains: dict[bytes, int] = {}
-        for s, f in freq1.items():
-            # single byte: saves the escape byte; longer: saves len-1 bytes
-            gains[s] = max(gains.get(s, 0), f * max(len(s) - 1, 1))
-        for s, f in freq2.items():
-            gains[s] = max(gains.get(s, 0), f * (len(s) - 1))
+        for i in order1:
+            s = materialize(int(uniq1[i]))
+            g = int(gain1[i])
+            if g > gains.get(s, 0):
+                gains[s] = g
+        for i in order2:
+            key = int(uniq2[i])
+            s = materialize(key // 512) + materialize(key % 512)
+            g = int(gain2[i])
+            if g > gains.get(s, 0):
+                gains[s] = g
         ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
         table = [s for s, g in ranked[:MAX_SYMBOLS] if g > 1]
     return FsstTable(table)
@@ -163,13 +193,14 @@ def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, grouped, first_off = table.native_arrays()
+        flat, offs, lens, grouped, first_off, vals, masks = table.native_arrays()
         out = np.empty(2 * n, dtype=np.uint8)  # worst case: all escaped
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
         m = lib.upes_fsst_encode(
             d.ctypes.data_as(u8p), n,
-            flat.ctypes.data_as(u8p), offs.ctypes.data_as(i32p),
+            vals.ctypes.data_as(u64p), masks.ctypes.data_as(u64p),
             lens.ctypes.data_as(i32p), grouped.ctypes.data_as(u8p),
             first_off.ctypes.data_as(i32p), out.ctypes.data_as(u8p),
         )
@@ -229,7 +260,7 @@ def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, _, _ = table.native_arrays()
+        flat, offs, lens, _, _, _, _ = table.native_arrays()
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         total = lib.upes_fsst_decoded_size(codes.ctypes.data_as(u8p), n, lens.ctypes.data_as(i32p))

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from ..plans.partitioning import EncodePlan, assign_units, plan_encode
+from ..plans.partitioning import EncodePlan, assign_units_arrow, plan_encode
 from .container import deserialize_chunk, serialize_chunk
 
 ENC_SCHEMA = "unit long, n_rows long, bytes_in long, bytes_out long, wall_ms double, codecs string, payload binary"
@@ -102,8 +102,7 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
         for batch in iterator:
-            keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
-            units = assign_units(keys, plan_local)
+            units = assign_units_arrow(batch.column(key_col), plan_local)
             keep = ~np.isin(units, done_local) if done_local.size else np.ones(len(units), bool)
             out = batch.append_column("__unit", pa.array(units, type=pa.int64()))
             if not keep.all():

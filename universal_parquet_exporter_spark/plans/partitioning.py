@@ -82,6 +82,9 @@ def plan_encode(
     )
     if len(sample) == 0:
         return EncodePlan(key_col, [], [1])
+    # plan on KEY_WIDTH-byte prefixes — the same comparison the assigner
+    # uses, so plan units and assigned units agree exactly
+    sample["k"] = sample["k"].astype(str).str.slice(0, KEY_WIDTH)
     sample = sample.sort_values("k").reset_index(drop=True)
     scale = total_rows / len(sample)
     total_bytes_est = float(sample["sz"].sum()) * scale
@@ -104,30 +107,77 @@ def plan_encode(
     return EncodePlan(key_col, boundaries, salts)
 
 
-def assign_units(keys: np.ndarray, plan: EncodePlan) -> np.ndarray:
-    """Vectorized unit-id assignment for an array of key strings (used
-    inside the encode task's Arrow batches — no per-row Python)."""
-    bnd = np.array(plan.boundaries, dtype=object)
-    buckets = np.searchsorted(bnd, keys.astype(object), side="right")
+KEY_WIDTH = 48  # range comparison happens on this utf-8 prefix
+
+
+def _fixed_width(arr, width: int = KEY_WIDTH) -> np.ndarray:
+    """Arrow string array → (n,) ``S{width}`` numpy array (zero-padded
+    utf-8 prefixes), fully vectorized from the Arrow buffers."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odtype = np.int64 if large else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odtype)[arr.offset : arr.offset + len(arr) + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    n = len(arr)
+    lens = np.minimum(np.diff(offsets), width)
+    out = np.zeros((n, width), dtype=np.uint8)
+    pos = np.repeat(offsets[:-1], lens) + (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    )
+    cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    out[rows, cols] = data[pos]
+    return out.view(f"S{width}").ravel()
+
+
+def boundaries_fixed(plan: EncodePlan, width: int = KEY_WIDTH) -> np.ndarray:
+    return np.array(
+        [b.encode("utf-8")[:width] for b in plan.boundaries], dtype=f"S{width}"
+    )
+
+
+def assign_units_arrow(key_array, plan: EncodePlan) -> np.ndarray:
+    """Vectorized unit-id assignment straight from an Arrow string column —
+    zero per-row Python.  Range comparison uses KEY_WIDTH-byte prefixes
+    (consistent between planning and assignment, so unit identity is
+    deterministic)."""
+    keys = _fixed_width(key_array)
+    bnd = boundaries_fixed(plan)
+    buckets = np.searchsorted(bnd, keys, side="right")
     salts = np.array(plan.salts, dtype=np.int64)
     offsets = np.array(plan.unit_offsets, dtype=np.int64)
     unit = offsets[buckets]
     hot = salts[buckets] > 1
     if hot.any():
-        h = _hash_strings(keys[hot])
+        h = _hash_fixed(keys[hot])
         unit[hot] = unit[hot] + (h % salts[buckets][hot].astype(np.uint64)).astype(np.int64)
     return unit
 
 
-def _hash_strings(keys: np.ndarray) -> np.ndarray:
-    """Cheap vectorized FNV-1a over the first/last bytes of each key."""
+def _hash_fixed(keys: np.ndarray) -> np.ndarray:
+    """FNV-1a over the fixed-width key bytes (vectorized)."""
+    w = keys.dtype.itemsize
+    as_bytes = keys.view(np.uint8).reshape(keys.size, w)
     out = np.full(keys.size, 0xCBF29CE484222325, dtype=np.uint64)
-    # operate on fixed-width prefix views to stay vectorized
-    as_bytes = (
-        np.array([k[-16:].encode("utf-8", "ignore")[:16] for k in keys], dtype="S16")
-        .view(np.uint8)
-        .reshape(keys.size, 16)
-    )
-    for j in range(16):
+    for j in range(w):
         out = (out ^ as_bytes[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
     return out
+
+
+def assign_units(keys: np.ndarray, plan: EncodePlan) -> np.ndarray:
+    """Unit-id assignment for an object array of key strings (small-scale
+    helper; the pipeline uses :func:`assign_units_arrow`)."""
+    import pyarrow as pa
+
+    return assign_units_arrow(pa.array(keys.tolist(), type=pa.string()), plan)
+
+
