@@ -1,0 +1,63 @@
+"""Physical-plan quality gates: the scale properties SURVEY.md §4.2 claims
+must be visible in `.explain` output — predicate pushdown to the parquet
+scan, column pruning, broadcast for small dimensions, TakeOrderedAndProject
+for top-k. A plan regression here is a 100TB regression."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from universal_parquet_exporter_spark.operators import relational, similarity
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = relational.q_filter_compare(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.q_projection_alias(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # ReadSchema must not include unprojected columns
+    assert "c_acctbal" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_topk_plans_take_ordered(spark):
+    df = relational.q_topk(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_small_dim_joins_broadcast(spark):
+    df = relational.q_join_chain(spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_semi_join_is_semi(spark):
+    df = relational.q_join_semi_distinct(spark, SF_SMOKE)
+    assert "LeftSemi" in optimized_of(df)
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    df = similarity.q_embed_topk(spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" in plan_of(df) or "BroadcastHashJoin" in plan_of(df)
+
+
+def test_no_python_udfs_in_relational_plans(spark):
+    """The §2B surface must be pure Catalyst — no Python eval nodes."""
+    for name in [
+        "q_join_left_agg",
+        "q_agg_grouped",
+        "q_window_rank_partitioned",
+        "q_scalar_funcs",
+    ]:
+        df = getattr(relational, name)(spark, SF_SMOKE)
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
