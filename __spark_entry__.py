@@ -224,13 +224,15 @@ def oracle_sql() -> dict[str, str]:
             "ON a.band = b.band AND a.key = b.key AND a.id < b.id ORDER BY id_a, id_b"
         ),
         "dedup_ngram_jaccard": (
-            f"WITH g AS (SELECT doc_id AS id, source AS grp, {_NGRAMS} AS ng FROM documents) "
+            f"WITH g0 AS (SELECT doc_id AS id, source AS g_source, lang AS g_lang, {_NGRAMS} AS ng FROM documents), "
+            "g AS (SELECT *, len(ng) AS nn FROM g0) "
             "SELECT a.id AS id_a, b.id AS id_b, round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
-            "/ (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 4) AS jaccard "
-            "FROM g a JOIN g b ON a.grp = b.grp AND a.id < b.id "
-            "WHERE len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) > 0 "
+            "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) AS jaccard "
+            "FROM g a JOIN g b ON a.g_source = b.g_source AND a.g_lang = b.g_lang AND a.id < b.id "
+            "AND least(a.nn, b.nn) >= 0.05 * greatest(a.nn, b.nn) "
+            "WHERE a.nn + b.nn - len(list_intersect(a.ng, b.ng)) > 0 "
             "AND round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
-            "/ (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
+            "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
             "ORDER BY id_a, id_b"
         ),
         "embed_topk": (

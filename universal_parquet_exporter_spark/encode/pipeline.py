@@ -168,11 +168,13 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
 
     encoded = shuffled.mapInArrow(encode, ENC_SCHEMA)
     data_dir = os.path.join(cfg.output_dir, "data")
+    t_stage = time.perf_counter()
     (
         encoded.write.mode("append")
         .option("compression", "uncompressed")
         .parquet(data_dir)
     )
+    stage_wall = time.perf_counter() - t_stage
 
     # lineage from the COMMITTED sink (column-pruned read: payload skipped)
     sink = spark.read.parquet(data_dir).drop("payload")
@@ -199,6 +201,9 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
         "bytes_in": int(agg.bytes_in or 0),
         "bytes_out": int(agg.bytes_out or 0),
         "ratio": (int(agg.bytes_out or 0) / int(agg.bytes_in)) if agg.bytes_in else None,
+        # wall of the assign→shuffle→encode→sink action alone (excludes
+        # planning and lineage bookkeeping, which are O(1) driver work)
+        "encode_stage_sec": round(stage_wall, 3),
     }
 
 

@@ -206,25 +206,36 @@ def ngram_set(text_col, n: int = 3):
 
 def jaccard_pairs(
     df: DataFrame,
-    group_col: str,
+    group_cols: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.05,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs co-grouped by ``group_col`` (the
-    blocking key bounds the quadratic join; at web scale the blocking key
-    is an LSH band or a host)."""
+    """Exact n-gram Jaccard over pairs co-grouped by ``group_cols`` (the
+    blocking keys bound the quadratic join; at web scale the blocking key
+    is an LSH band or a host).  Pairs whose n-gram-count ratio is below
+    the threshold are pruned inside the join condition — exact, since
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)."""
     g = df.select(
-        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), ngram_set(F.col(text_col), n).alias("ng")
-    )
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"g_{c}") for c in group_cols],
+        ngram_set(F.col(text_col), n).alias("ng"),
+    ).withColumn("nn", F.size("ng"))
     a, b = g.alias("a"), g.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in group_cols:
+        cond = cond & (F.col(f"a.g_{c}") == F.col(f"b.g_{c}"))
+    cond = cond & (
+        F.least(F.col("a.nn"), F.col("b.nn"))
+        >= F.lit(threshold) * F.greatest(F.col("a.nn"), F.col("b.nn"))
+    )
     inter = F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng")))
     # |A∪B| = |A|+|B|-|A∩B| arithmetically, so both engines agree exactly
-    union = F.size(F.col("a.ng")) + F.size(F.col("b.ng")) - inter
+    union = F.col("a.nn") + F.col("b.nn") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     return (
-        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -235,6 +246,6 @@ def jaccard_pairs(
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs within each source (blocking key)."""
+    """Exact 3-gram Jaccard pairs blocked by (source, lang)."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, group_col="source").orderBy("id_a", "id_b")
+    return jaccard_pairs(docs, group_cols=["source", "lang"]).orderBy("id_a", "id_b")

@@ -47,3 +47,27 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 32) -> None:
+    """Touch every Python worker once: import the engine, compile/load the
+    native kernels, and fault-in a working set.  On fault-expensive kernels
+    the first big allocation in a fresh worker costs seconds; steady-state
+    throughput (the thing a 1000-executor job lives in) needs warm arenas.
+    One O(seconds) job, run before any timed work."""
+
+    def gen(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..codecs import fsst_encode, fsst_train
+
+        scratch = np.zeros((mb_per_worker << 20) // 8, dtype=np.int64)
+        scratch[::512] = 1  # fault-in
+        sample = (b"warm up the symbol table builder " * 64)[:2048]
+        tbl = fsst_train(sample)
+        fsst_encode(sample * 16, tbl)
+        for batch in iterator:
+            yield pa.RecordBatch.from_pydict({"id": batch.column(0)})
+
+    spark.range(cpus * 4, numPartitions=cpus * 4).mapInArrow(gen, "id long").count()
