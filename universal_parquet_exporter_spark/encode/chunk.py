@@ -148,6 +148,28 @@ def decode_int_stream(meta: dict, buffers: list[bytes]) -> np.ndarray:
 _FSST_SAMPLE = 1 << 16
 
 
+def _decimal_scale(v: np.ndarray, max_scale: int = 4) -> int | None:
+    """Smallest k such that every value is exactly a k-decimal number
+    (``round(v*10^k)/10^k`` reproduces the input bit-for-bit), else None.
+    Checked on a slice first to bail out cheaply on real-valued data."""
+    if v.size == 0:
+        return None
+    probe = v[: min(v.size, 1024)]
+    for k in range(0, max_scale + 1):
+        f = 10.0**k
+        with np.errstate(invalid="ignore", over="ignore"):
+            scaled = probe * f
+            if not np.all(np.isfinite(scaled)) or np.abs(scaled).max() >= 2**52:
+                return None
+            c = np.round(scaled)
+            if np.array_equal(c / f, probe):
+                full = np.round(v * f)
+                if np.all(np.isfinite(v)) and np.abs(v * f).max() < 2**52 and np.array_equal(full / f, v):
+                    return k
+                return None
+    return None
+
+
 def encode_byte_stream(data: np.ndarray) -> tuple[dict, list[bytes]]:
     """Encode a raw byte buffer: FSST if a sampled trial compresses, else
     plain.  (Whole-string dictionary is handled one level up, where
@@ -240,11 +262,18 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray) -> tuple[dict, list
         if arr.null_count:
             arr = arr.fill_null(0.0)
         v = arr.to_numpy(zero_copy_only=False)
+        scale = _decimal_scale(v) if tag == "f64" else None
         iview = v.view(np.int32 if tag == "f32" else np.int64)
-        # floats as raw bit patterns through the int selector only when it
-        # pays (constant/low-card columns); otherwise plain bytes
         st = _int_stats(iview.astype(np.int64, copy=False))
-        if st["card"] <= max(64, st["n"] // 64) or st["runs"] <= st["n"] // 4:
+        if scale is not None:
+            # doubles that are exactly k-decimal values (prices, rates):
+            # lossless integer re-expression, then the int selector
+            ints = np.round(v * 10.0**scale).astype(np.int64)
+            imeta, ebufs = encode_int_stream(ints)
+            emeta = {"codec": "fscale", "scale": scale, "inner": imeta}
+        elif st["card"] <= max(64, st["n"] // 64) or st["runs"] <= st["n"] // 4:
+            # floats as raw bit patterns through the int selector — pays for
+            # constant/low-cardinality columns
             emeta, ebufs = encode_int_stream(iview.astype(np.int64, copy=False))
             emeta = {"codec": "fbits", "inner": emeta}
         else:
@@ -375,7 +404,10 @@ def decode_array(meta: dict, buffers: list[bytes]) -> pa.Array:
             result = _apply_mask(result, mask)
         return result
     if tag in ("f32", "f64"):
-        if enc["codec"] == "fbits":
+        if enc["codec"] == "fscale":
+            ints = decode_int_stream(enc["inner"], body)
+            v = ints.astype(np.float64) / 10.0 ** enc["scale"]
+        elif enc["codec"] == "fbits":
             iv = decode_int_stream(enc["inner"], body)
             v = iv.astype(np.int32, copy=False).view(np.float32) if tag == "f32" else iv.view(np.float64)
         else:
