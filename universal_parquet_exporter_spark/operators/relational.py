@@ -416,9 +416,13 @@ def q_events_agg(spark, sf_dir):
             money_sum(F.col("value")).alias("sum_value"),
             # µs epoch ints: identical across engines regardless of how each
             # stringifies timestamps
-            # parquet timestamps load as TIMESTAMP_NTZ; the session tz is
-            # pinned to UTC, so the cast is instant-preserving
-            F.unix_micros(F.min("ts").cast("timestamp")).alias("first_ts_us"),
-            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+            # timestampdiff on TIMESTAMP_NTZ is session-tz-independent
+            # (a cast to TIMESTAMP would shift by the driver session's tz)
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', min(ts))"
+            ).alias("first_ts_us"),
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', max(ts))"
+            ).alias("last_ts_us"),
         )
     )
