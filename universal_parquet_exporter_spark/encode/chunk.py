@@ -170,16 +170,19 @@ def _decimal_scale(v: np.ndarray, max_scale: int = 4) -> int | None:
     return None
 
 
-def encode_byte_stream(data: np.ndarray) -> tuple[dict, list[bytes]]:
+def encode_byte_stream(data: np.ndarray, table: FsstTable | None = None) -> tuple[dict, list[bytes]]:
     """Encode a raw byte buffer: FSST if a sampled trial compresses, else
     plain.  (Whole-string dictionary is handled one level up, where
-    offsets are known.)"""
+    offsets are known.)  A pre-trained ``table`` (shared per task across
+    fragments) skips the per-chunk training cost; the sampled trial still
+    guards against a mismatched table."""
     nbytes = int(data.size)
     if nbytes == 0:
         return {"codec": "plain", "nbytes": 0}, []
     if nbytes >= 64:
         sample = data[:_FSST_SAMPLE].tobytes()
-        table = fsst_train(sample)
+        if table is None:
+            table = fsst_train(sample)
         if table.symbols:
             trial = fsst_encode(sample, table)
             ratio = len(trial) / len(sample)
@@ -234,7 +237,11 @@ def _null_mask(meta: dict | None, buf: bytes | None, n: int) -> np.ndarray | Non
     return bits.astype(bool)
 
 
-def encode_array(name: str, arr: pa.Array | pa.ChunkedArray) -> tuple[dict, list[bytes]]:
+def encode_array(
+    name: str,
+    arr: pa.Array | pa.ChunkedArray,
+    fsst_table: FsstTable | None = None,
+) -> tuple[dict, list[bytes]]:
     """Encode one Arrow column chunk.  Returns (meta, buffers); meta is
     JSON-safe and records the chosen codec per sub-stream."""
     arr = _combine(arr)
@@ -288,7 +295,7 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray) -> tuple[dict, list
             # normalize null slots to empty values so encoded bytes are
             # deterministic (offsets behind nulls are non-normative in Arrow)
             arr = arr.fill_null("" if tag in ("str", "lstr") else b"")
-        emeta, ebufs = _encode_varlen(arr, tag)
+        emeta, ebufs = _encode_varlen(arr, tag, fsst_table)
     elif tag.startswith("dec:"):
         buf = arr.buffers()[1]
         off = arr.offset * 16
@@ -316,7 +323,7 @@ def _varlen_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return lengths, data
 
 
-def _encode_varlen(arr: pa.Array, tag: str) -> tuple[dict, list[bytes]]:
+def _encode_varlen(arr: pa.Array, tag: str, fsst_table: FsstTable | None = None) -> tuple[dict, list[bytes]]:
     n = len(arr)
     lengths, data = _varlen_parts(arr)
     total = int(data.size)
@@ -336,7 +343,7 @@ def _encode_varlen(arr: pa.Array, tag: str) -> tuple[dict, list[bytes]]:
             cmeta, cbufs = encode_int_stream(codes)
             dlen, ddata = _varlen_parts(dictionary.cast(pa.large_string() if tag in ("str", "lstr") else pa.large_binary()))
             lmeta, lbufs = encode_int_stream(dlen)
-            bmeta, bbufs = encode_byte_stream(ddata)
+            bmeta, bbufs = encode_byte_stream(ddata, fsst_table)
             meta = {
                 "codec": "vdict",
                 "n": n,
@@ -348,7 +355,7 @@ def _encode_varlen(arr: pa.Array, tag: str) -> tuple[dict, list[bytes]]:
             }
             return meta, cbufs + lbufs + bbufs
     lmeta, lbufs = encode_int_stream(lengths)
-    bmeta, bbufs = encode_byte_stream(data)
+    bmeta, bbufs = encode_byte_stream(data, fsst_table)
     meta = {
         "codec": "varlen",
         "n": n,

@@ -16,19 +16,22 @@ from .chunk import decode_array, encode_array
 _MAGIC = b"UPE1"
 
 
-def serialize_chunk(batch: pa.RecordBatch | pa.Table) -> tuple[bytes, dict]:
+def serialize_chunk(
+    batch: pa.RecordBatch | pa.Table, fsst_tables: dict | None = None
+) -> tuple[bytes, dict]:
     """Encode every column of a record batch; returns (payload, report).
 
     ``report`` carries per-column codec choices and byte counts for the
     lineage/metrics table (engine analog of the reference's export summary,
     ``/root/reference/examples/advanced_integration_example.py:283-297``).
-    """
+    ``fsst_tables`` optionally maps column name → pre-trained FsstTable
+    shared across many chunks of the same task (amortizes training)."""
     cols = []
     all_bufs: list[bytes] = []
     report_cols = []
     for name in batch.schema.names:
         col = batch.column(batch.schema.get_field_index(name))
-        meta, bufs = encode_array(name, col)
+        meta, bufs = encode_array(name, col, (fsst_tables or {}).get(name))
         lens = [len(b) for b in bufs]
         meta["buf_lens"] = lens
         cols.append(meta)

@@ -36,6 +36,33 @@ from ..plans.partitioning import EncodePlan, assign_units_arrow, plan_encode
 from .container import deserialize_chunk, serialize_chunk
 
 ENC_SCHEMA = "unit long, n_rows long, bytes_in long, bytes_out long, wall_ms double, codecs string, payload binary"
+FRAG_SCHEMA = (
+    "unit long, first_key string, n_rows long, bytes_in long, bytes_out long, "
+    "wall_ms double, codecs string, payload binary"
+)
+
+_FRAG_MAGIC = b"UPEU"
+
+
+def pack_fragments(frags: list[bytes]) -> bytes:
+    """Final per-unit container: fragment payloads concatenated with a
+    length index (reduce side never re-encodes)."""
+    head = [_FRAG_MAGIC, len(frags).to_bytes(4, "little")]
+    head.extend(len(f).to_bytes(8, "little") for f in frags)
+    return b"".join(head) + b"".join(frags)
+
+
+def unpack_fragments(payload: bytes) -> list[bytes]:
+    if payload[:4] != _FRAG_MAGIC:
+        raise ValueError("bad unit container magic")
+    n = int.from_bytes(payload[4:8], "little")
+    lens = [int.from_bytes(payload[8 + 8 * i : 16 + 8 * i], "little") for i in range(n)]
+    out = []
+    pos = 8 + 8 * n
+    for ln in lens:
+        out.append(payload[pos : pos + ln])
+        pos += ln
+    return out
 
 
 @dataclass
@@ -88,7 +115,17 @@ def completed_units(spark, output_dir: str) -> set[int]:
 
 
 def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
-    """Run (or resume) the encode job. Returns job metrics."""
+    """Run (or resume) the encode job.
+
+    Map-side combine: every input partition encodes its rows into
+    per-unit *fragments* before the shuffle, so the exchange carries
+    compressed bytes (~5x less traffic than shuffling raw rows — the
+    difference between shuffling 100 TB and 20 TB at nominal scale).  The
+    reduce side only concatenates fragments into the final per-unit
+    container; nothing is re-encoded.  Fragment boundaries depend on input
+    splits, so payload bytes may differ between runs at different
+    parallelism — decoded data is identical (the north-rule invariant),
+    and resume stays unit-atomic via lineage."""
     plan = load_or_build_plan(df, cfg)
     done = completed_units(spark, cfg.output_dir)
     n_units = plan.n_units
@@ -96,77 +133,108 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     bplan = spark.sparkContext.broadcast(plan.to_json())
     bdone = spark.sparkContext.broadcast(sorted(done))
     key_col = cfg.key_col
-    columns = df.columns
 
-    def assign(iterator):
+    def map_encode(iterator):
+        from ..plans.partitioning import _fixed_width
+
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
+        buf: dict[int, list] = {}
         for batch in iterator:
+            if batch.num_rows == 0:
+                continue
             units = assign_units_arrow(batch.column(key_col), plan_local)
-            keep = ~np.isin(units, done_local) if done_local.size else np.ones(len(units), bool)
-            out = batch.append_column("__unit", pa.array(units, type=pa.int64()))
-            if not keep.all():
-                out = out.filter(pa.array(keep))
-            yield out
+            keys = _fixed_width(batch.column(key_col))
+            if done_local.size:
+                keep = ~np.isin(units, done_local)
+                if not keep.all():
+                    idx = np.flatnonzero(keep)
+                    batch = batch.take(pa.array(idx))
+                    units = units[keep]
+                    keys = keys[keep]
+            if len(units) == 0:
+                continue
+            order = np.lexsort((keys, units))
+            batch = batch.take(pa.array(order))
+            units = units[order]
+            change = np.flatnonzero(units[1:] != units[:-1])
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(units)]))
+            for s, e in zip(starts, ends):
+                buf.setdefault(int(units[s]), []).append(batch.slice(s, e - s))
+        # train FSST tables ONCE per task from the largest buffered unit's
+        # string/binary columns; fragments reuse them (the per-fragment
+        # trial still falls back to plain if a table fits poorly)
+        fsst_tables = {}
+        if buf:
+            biggest = max(buf.values(), key=lambda bs: sum(b.nbytes for b in bs))
+            probe = pa.Table.from_batches(biggest)
+            for field in probe.schema:
+                if pa.types.is_string(field.type) or pa.types.is_binary(field.type) or \
+                   pa.types.is_large_string(field.type) or pa.types.is_large_binary(field.type):
+                    col = probe.column(field.name).combine_chunks()
+                    bufs_ = col.buffers()
+                    if bufs_[2] is not None and bufs_[2].size >= 64:
+                        sample = bufs_[2].to_pybytes()[:65536]
+                        from ..codecs.fsst import fsst_train
 
-    from pyspark.sql import functions as F
+                        fsst_tables[field.name] = fsst_train(sample)
 
-    assigned_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    assigned = df.mapInArrow(assign, assigned_schema + ", __unit long")
-
-    shuffled = assigned.repartition(max(n_units - len(done), 1), F.col("__unit")).sortWithinPartitions(
-        "__unit", key_col
-    )
-
-    def encode(iterator):
-        current_unit = None
-        batches: list[pa.RecordBatch] = []
-
-        def flush():
-            nonlocal batches, current_unit
-            if current_unit is None:
-                return None
+        for unit in sorted(buf):
             t0 = time.perf_counter()
-            tbl = pa.Table.from_batches(batches)
-            payload, report = serialize_chunk(tbl)
+            tbl = pa.Table.from_batches(buf[unit])
+            payload, report = serialize_chunk(tbl, fsst_tables)
             wall = (time.perf_counter() - t0) * 1000
-            row = pa.RecordBatch.from_pydict(
+            first_key = tbl.column(key_col)[0].as_py() if tbl.num_rows else ""
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "unit": [current_unit],
+                    "unit": [unit],
+                    "first_key": [first_key],
                     "n_rows": [tbl.num_rows],
                     "bytes_in": [report["bytes_in"]],
-                    "bytes_out": [report["bytes_out"]],
+                    "bytes_out": [len(payload)],
                     "wall_ms": [wall],
                     "codecs": [json.dumps({c["name"]: c["codec"] for c in report["columns"]})],
                     "payload": [payload],
                 }
             )
-            batches = []
-            current_unit = None
-            return row
 
+    from pyspark.sql import functions as F
+
+    frags = df.mapInArrow(map_encode, FRAG_SCHEMA)
+    shuffled = frags.repartition(max(n_units - len(done), 1), F.col("unit"))
+
+    def reduce_combine(iterator):
+        per_unit: dict[int, list] = {}
         for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            units = batch.column("__unit").to_numpy()
-            data = batch.drop_columns(["__unit"])
-            # units are contiguous after sortWithinPartitions
-            change = np.flatnonzero(units[1:] != units[:-1])
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(units)]))
-            for s, e in zip(starts, ends):
-                u = int(units[s])
-                if current_unit is not None and u != current_unit:
-                    out = flush()
-                    if out is not None:
-                        yield out
-                current_unit = u
-                batches.append(data.slice(s, e - s))
-        out = flush()
-        if out is not None:
-            yield out
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                per_unit.setdefault(d["unit"][i], []).append(
+                    (
+                        d["first_key"][i],
+                        d["n_rows"][i],
+                        d["bytes_in"][i],
+                        d["wall_ms"][i],
+                        d["codecs"][i],
+                        d["payload"][i],
+                    )
+                )
+        for unit in sorted(per_unit):
+            frag_rows = sorted(per_unit[unit], key=lambda r: r[0])
+            payload = pack_fragments([r[5] for r in frag_rows])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "unit": [unit],
+                    "n_rows": [int(sum(r[1] for r in frag_rows))],
+                    "bytes_in": [int(sum(r[2] for r in frag_rows))],
+                    "bytes_out": [len(payload)],
+                    "wall_ms": [float(sum(r[3] for r in frag_rows))],
+                    "codecs": [frag_rows[0][4]],
+                    "payload": [payload],
+                }
+            )
 
-    encoded = shuffled.mapInArrow(encode, ENC_SCHEMA)
+    encoded = shuffled.mapInArrow(reduce_combine, ENC_SCHEMA)
     data_dir = os.path.join(cfg.output_dir, "data")
     t_stage = time.perf_counter()
     (
@@ -215,17 +283,18 @@ def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
     sample = spark.read.parquet(data_dir).select("payload").limit(1).collect()
     if not sample:
         raise ValueError("empty encoded dataset")
-    probe = deserialize_chunk(sample[0].payload)
+    probe = deserialize_chunk(unpack_fragments(sample[0].payload)[0])
     out_schema = _arrow_to_ddl(probe.schema, columns)
 
     def decode(iterator):
         for batch in iterator:
             for payload in batch.column("payload"):
-                tbl = deserialize_chunk(payload.as_py())
-                if columns:
-                    tbl = tbl.select(columns)
-                for b in tbl.to_batches():
-                    yield _normalize_batch(b)
+                for frag in unpack_fragments(payload.as_py()):
+                    tbl = deserialize_chunk(frag)
+                    if columns:
+                        tbl = tbl.select(columns)
+                    for b in tbl.to_batches():
+                        yield _normalize_batch(b)
 
     return enc.mapInArrow(decode, out_schema)
 
