@@ -217,8 +217,10 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
             + " FROM documents), bands AS ("
             + " UNION ALL ".join(
-                f"SELECT id, {i} AS band, concat(CAST(mh{2*i} AS VARCHAR), '_', CAST(mh{2*i+1} AS VARCHAR)) AS key FROM sig"
-                for i in range(4)
+                f"SELECT id, {i} AS band, concat_ws('_', "
+                + ", ".join(f"CAST(mh{4*i+j} AS VARCHAR)" for j in range(4))
+                + ") AS key FROM sig"
+                for i in range(2)
             )
             + ") SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b "
             "ON a.band = b.band AND a.key = b.key AND a.id < b.id ORDER BY id_a, id_b"

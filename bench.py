@@ -120,6 +120,7 @@ def main() -> None:
             if f.endswith(".parquet")
         )
 
+        encode_bench(spark, input_parquet, workdir, "mainwarm")  # untimed warmup
         enc = encode_bench(spark, input_parquet, workdir, f"main{CPUS}")
         enc["control_bytes"] = control_bytes
         enc["control_wall_sec"] = round(control_wall, 3)
@@ -143,6 +144,8 @@ def main() -> None:
                 s = build_session(app_name=f"upes-scale-{cores}", cpus=cores, shuffle_partitions=cores)
                 s.sparkContext.setLogLevel("ERROR")
                 warm_workers(s, cores)
+                # steady-state: one untimed warmup run, then the measured run
+                encode_bench(s, input_parquet, workdir, f"scalewarm{cores}", target_unit_bytes=unit_bytes)
                 runs[cores] = encode_bench(
                     s, input_parquet, workdir, f"scale{cores}", target_unit_bytes=unit_bytes
                 )

@@ -37,7 +37,8 @@ MINHASH_PARAMS = [
     (53, 59),
 ]
 MERSENNE = 2147483647  # 2^31-1
-N_BANDS = 4  # 8 hashes → 4 bands of 2
+N_BANDS = 2  # 8 hashes → 2 bands of 4
+BAND_WIDTH = 4
 
 
 def _t(spark, sf_dir, name):
@@ -118,8 +119,10 @@ def minhash_candidates(
                         F.lit(i).alias("band"),
                         F.concat_ws(
                             "_",
-                            F.col("sig")[2 * i].cast("string"),
-                            F.col("sig")[2 * i + 1].cast("string"),
+                            *[
+                                F.col("sig")[BAND_WIDTH * i + j].cast("string")
+                                for j in range(BAND_WIDTH)
+                            ],
                         ).alias("key"),
                     )
                     for i in range(N_BANDS)

@@ -49,7 +49,7 @@ def build_session(
     return builder.getOrCreate()
 
 
-def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 32) -> None:
+def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 192) -> None:
     """Touch every Python worker once: import the engine, compile/load the
     native kernels, and fault-in a working set.  On fault-expensive kernels
     the first big allocation in a fresh worker costs seconds; steady-state
