@@ -62,13 +62,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+        "dedup_embed": dedup.q_dedup_embed,
         "embed_topk": similarity.q_embed_topk,
         "embed_ann_lsh": similarity.q_embed_ann_lsh,
+        "embed_ann_ivf": similarity.q_embed_ann_ivf,
         "token_count": textstats.q_token_count,
         "quality_score": textstats.q_quality_score,
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
         "multimodal_meta": multimodal.q_multimodal_meta,
+        "media_frames": multimodal.q_media_frames,
     }
 
 
@@ -237,6 +240,29 @@ def oracle_sql() -> dict[str, str]:
             "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
             "ORDER BY id_a, id_b"
         ),
+        "dedup_embed": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS sim "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35 ORDER BY id_a, id_b"
+        ),
+        "embed_ann_ivf": (
+            "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0), "
+            "asg AS (SELECT id, cid AS list_id FROM ("
+            "SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id "
+            "ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn FROM e, cent c) WHERE rn = 1), "
+            "probes AS (SELECT id AS query_id, cid AS list_id FROM ("
+            "SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id "
+            "ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn FROM e, cent c WHERE e.id < 20) WHERE rn <= 2), "
+            "cand AS (SELECT p.query_id, a.id AS neighbor_id FROM probes p JOIN asg a "
+            "ON p.list_id = a.list_id AND a.id != p.query_id), "
+            "scored AS (SELECT cand.query_id, cand.neighbor_id, list_cosine_similarity(qe.v, ne.v) AS s "
+            "FROM cand JOIN e qe ON qe.id = cand.query_id JOIN e ne ON ne.id = cand.neighbor_id) "
+            "SELECT query_id, neighbor_id, round(s, 4) AS sim FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rk FROM scored"
+            ") WHERE rk = 1"
+        ),
         "embed_topk": (
             "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20), "
             "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
@@ -299,6 +325,15 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(text) AS fp, "
             "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS fp32 FROM documents"
+        ),
+        # documents.text is ASCII-only in the fixture, so VARCHAR substr
+        # (this DuckDB has no BLOB slicing) equals the engine's byte slicing
+        "media_frames": (
+            "WITH d AS (SELECT doc_id, text AS b, "
+            "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents) "
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, (n * i) // 4 AS frame_off, "
+            "md5(substr(b, CAST((n * i) // 4 AS BIGINT) + 1, CAST(least(16, n - (n * i) // 4) AS BIGINT))) AS frame_md5 "
+            "FROM d, range(4) t(i)"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "

@@ -252,3 +252,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs blocked by (source, lang)."""
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs(docs, group_cols=["source", "lang"]).orderBy("id_a", "id_b")
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the embeddings table:
+    exact all-pairs rerank (the candidate-generation scale path is LSH /
+    IVF — see :mod:`.similarity`)."""
+    from .similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")

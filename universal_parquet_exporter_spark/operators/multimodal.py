@@ -77,6 +77,81 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
     return df.mapInArrow(run, MEDIA_META_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
+
+
+def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets relative to row 0, flat data bytes) for a binary/string array."""
+    combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    odtype = (
+        np.int64
+        if pa.types.is_large_binary(combined.type) or pa.types.is_large_string(combined.type)
+        else np.int32
+    )
+    bufs = combined.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odtype)[
+        combined.offset : combined.offset + len(combined) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return offsets - offsets[0], data[offsets[0] : offsets[-1]]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: slice each binary
+    payload at ``n_frames`` evenly-spaced offsets (a real decoder would
+    seek keyframes there instead — :func:`decode_real` is the swap point).
+    Entirely vectorized: one NumPy gather per frame index per batch, no
+    per-row Python; output is one row per (row, frame)."""
+
+    def run(iterator):
+        for batch in iterator:
+            ids = batch.column(id_col)
+            offsets, data = _binary_view(batch.column(bin_col))
+            lengths = np.diff(offsets)
+            n = lengths.size
+            for i in range(n_frames):
+                starts = (lengths * i) // n_frames
+                take = np.minimum(frame_bytes, lengths - starts)
+                out_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(take, out=out_off[1:])
+                total = int(out_off[-1])
+                pos = offsets[:-1] + starts
+                flat = np.repeat(pos, take) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], take)
+                )
+                frames = pa.Array.from_buffers(
+                    pa.binary(),
+                    n,
+                    [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[flat])],
+                )
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": pa.array(np.full(n, i, dtype=np.int32)),
+                        "frame_off": pa.array(starts, type=pa.int64()),
+                        "frame": frames,
+                    }
+                )
+
+    return df.mapInArrow(run, FRAME_SCHEMA)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-frame deterministic sampling over documents-as-binary; frames are
+    fingerprinted (md5) so the contract check is value-exact."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(payload).select(
+        "doc_id", "frame_idx", "frame_off", F.md5("frame").alias("frame_md5")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing demo over documents (text bytes stand in for
     an image payload; real corpora carry html/jpeg bytes here)."""

@@ -104,6 +104,90 @@ def srp_buckets(
     return signed
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b) with
+    ``a < b`` and ``round(cosine, 4) >= threshold``.
+
+    This is the exact baseline (all-pairs, JVM-side dot products, small
+    side broadcast into a nested-loop join).  At 100 TB the same rerank
+    runs over candidates prefiltered by :func:`srp_buckets` (LSH) or the
+    IVF lists of :func:`ivf_assign` — the exact kernel is identical, only
+    the candidate generation narrows."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "v",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (ties broken by ascending centroid id).  ``centroids`` is small by
+    construction and broadcast; the output is (id, list_id) — the inverted
+    lists of an IVF index.  At scale the downstream candidate join
+    shuffles on ``list_id`` only."""
+    c = centroids.select(F.col("cid"), F.col("cv"))
+    scored = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("csim", cosine_sim(F.col("v"), F.col("cv")))
+    )
+    if nprobe == 1:
+        # single-probe: a plain max_by aggregation, no window shuffle
+        return scored.groupBy("id").agg(
+            F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("m")
+        ).select("id", (-F.col("m.ncid")).alias("list_id"))
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("id", F.col("cid").alias("list_id"))
+    )
+
+
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (every 25th vector),
+    single-probe inverted-list assignment for the corpus, 2-probe for the
+    queries, exact cosine rerank within the probed lists.  The scale path
+    of :func:`q_embed_topk` where recall matters more than LSH's speed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    cent = vecs.filter(F.col("id") % 25 == 0).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    lists = ivf_assign(vecs, cent, nprobe=1)
+    probes = ivf_assign(vecs.filter(F.col("id") < 20), cent, nprobe=2).withColumnRenamed(
+        "id", "query_id"
+    )
+    cand = probes.join(lists, "list_id").filter(F.col("id") != F.col("query_id"))
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv2")), F.col("id") == F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("cv2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (signed-random-projection) ANN: top-1 neighbor per query among
     same-bucket candidates.  Scale path of :func:`q_embed_topk` — the join
