@@ -133,3 +133,75 @@ def test_decode_column_pruning(spark, webpages, outdir):
     dec = decode_dataset(spark, outdir, columns=["url", "lang"])
     assert dec.columns == ["url", "lang"]
     assert dec.count() == N_ROWS
+
+
+@pytest.fixture(scope="module")
+def webpages_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wp_parquet"))
+    generate_webpages(spark, N_ROWS, partitions=4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_parquet_job_bit_identical(spark, webpages, webpages_parquet, outdir):
+    from universal_parquet_exporter_spark.encode.pipeline import encode_parquet_job
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    metrics = encode_parquet_job(spark, webpages_parquet, cfg)
+    assert metrics["rows"] == N_ROWS
+    assert metrics["encoded_units"] == metrics["plan_units"]
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS
+    assert _mismatches(webpages, dec) == 0
+
+
+def test_parquet_job_resume(spark, webpages, webpages_parquet, outdir):
+    """A parquet-input run resumes over lineage written by a DataFrame-input
+    run: unit identity is the plan's, not the input topology's."""
+    from universal_parquet_exporter_spark.encode.pipeline import encode_parquet_job
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    plan = load_or_build_plan(webpages, cfg)
+    k = plan.n_units // 2
+    bjson = plan.to_json()
+
+    def tag(iterator):
+        import pyarrow as pa
+
+        p = EncodePlan.from_json(bjson)
+        for batch in iterator:
+            keys = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            units = assign_units(keys, p)
+            yield batch.append_column("__unit", pa.array(units, type=pa.int64()))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in webpages.schema.fields)
+    subset = (
+        webpages.mapInArrow(tag, schema + ", __unit long")
+        .where(F.col("__unit") < k)
+        .drop("__unit")
+    )
+    m1 = encode_job(spark, subset, cfg)
+    assert m1["encoded_units"] == k
+
+    m2 = encode_parquet_job(spark, webpages_parquet, cfg)
+    assert m2["resumed_units"] == k
+    assert m2["encoded_units"] == plan.n_units
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS
+    assert dec.groupBy("url").count().where("count > 1").count() == 0
+    assert _mismatches(webpages, dec) == 0
+
+
+def test_orphan_fragments_ignored(spark, webpages, outdir):
+    """Fragments whose run never reached the lineage commit (crash between
+    data write and lineage write) are invisible to decode."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    data_dir = os.path.join(outdir, "data")
+    # simulate the torn run: re-append this run's fragments under a run_id
+    # that has no lineage rows
+    orphans = spark.read.parquet(data_dir).withColumn("run_id", F.lit("deadbeef0000"))
+    orphans.write.mode("append").option("compression", "uncompressed").parquet(data_dir)
+
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS  # orphans not double-read
+    assert _mismatches(webpages, dec) == 0

@@ -19,6 +19,15 @@ No code is ported from the reference; it is cited in docstrings only to
 establish behavioral parity.
 """
 
+import os as _os
+import sys as _sys
+
+# must be set before pyarrow is first imported: jemalloc (pyarrow's
+# default pool) bypasses the glibc tuning below and re-mmaps every large
+# buffer, which dominates runtime on fault-expensive kernels
+if "pyarrow" not in _sys.modules:
+    _os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 from .memtune import tune_malloc as _tune_malloc
 
 _tune_malloc()

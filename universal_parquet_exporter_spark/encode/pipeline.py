@@ -1,23 +1,33 @@
-"""The distributed encode job: plan → shuffle → mapInArrow encode →
-Parquet sink + lineage → (optionally) decode read-back.
+"""The distributed encode job: plan → mapInArrow encode → Parquet sink +
+lineage → (optionally) decode read-back.
 
 Engine analog of the reference's batch-export orchestration
 (``/root/reference/examples/advanced_integration_example.py:80-114`` — its
 per-query loop with error isolation and a summary record) re-designed for
 Spark: the unit of work is a byte-balanced *encode unit* (a url-range,
-possibly hash-salted — :mod:`..plans.partitioning`), executed as one
-shuffle + one Arrow-vectorized map stage, with per-unit lineage rows
-enabling checkpointed resume (north rule).
+possibly hash-salted — :mod:`..plans.partitioning`), with per-unit lineage
+rows enabling checkpointed resume (north rule).
 
 Scale notes (100 TB / 1000-executor thinking):
-- exactly ONE wide dependency: ``repartition(n_units, unit)``; encode,
-  sink writes and lineage derivation are all narrow;
-- the encoded payload column is written with parquet compression=none —
-  our codecs own the bytes, so sizes are honest and decode never pays a
-  double-decompress;
-- lineage is derived from the committed sink by column-pruned re-read
-  (payload column never read), so a crashed run can only under-report,
-  never over-report → resume is safe;
+- the job is fully NARROW and Iceberg-writer-shaped: each map task
+  bucket-sorts its input rows by (unit, key), encodes one *fragment* per
+  touched unit, appends the encoded Arrow buffers to its own payload file
+  in storage, and emits only tiny MANIFEST rows to Spark.  Encoded bytes
+  never cross the JVM<->Python boundary and are never shuffled — measured
+  on this sandbox's fault-expensive kernel, JVM-side handling of payload
+  bytes is precisely what destroys multi-core scaling, and at nominal
+  scale a consolidate-per-unit exchange is pure network cost on
+  already-compressed bytes;
+- unit atomicity without a shuffle: the manifest parquet commit is
+  job-atomic (FileOutputCommitter), lineage rows are derived from the
+  committed manifest and appended after, and decode semi-joins fragments
+  against lineage on (unit, run_id) — a run that crashes between payload
+  writes / manifest commit / lineage commit leaves only dead payload
+  files or orphan manifest rows, which are never read, and a resume
+  re-encodes those units under a new run_id (GC of dead files is the
+  usual Iceberg maintenance sweep);
+- payload files hold our codec output verbatim — sizes are honest and
+  decode never pays a double-decompress;
 - decode prunes to requested columns before deserializing payloads.
 """
 
@@ -35,34 +45,45 @@ import pyarrow as pa
 from ..plans.partitioning import EncodePlan, assign_units_arrow, plan_encode
 from .container import deserialize_chunk, serialize_chunk
 
-ENC_SCHEMA = "unit long, n_rows long, bytes_in long, bytes_out long, wall_ms double, codecs string, payload binary"
+# manifest row layout: one row per fragment (a map task's slice of one
+# encode unit); the encoded bytes themselves live in the task's payload
+# file at [offset, offset+length) — Iceberg-style: tasks write data files
+# straight to storage, Spark commits only the manifest
 FRAG_SCHEMA = (
     "unit long, first_key string, n_rows long, bytes_in long, bytes_out long, "
-    "wall_ms double, codecs string, payload binary"
+    "wall_ms double, codecs string, file string, offset long, length long"
 )
 
-_FRAG_MAGIC = b"UPEU"
 
+class _TaskPayloadWriter:
+    """Append-only payload file for one task attempt.  The file name is
+    unique per attempt, so retried/speculative attempts never collide;
+    files whose rows never reach the committed manifest are dead data
+    (GC-able), exactly like uncommitted Iceberg data files."""
 
-def pack_fragments(frags: list[bytes]) -> bytes:
-    """Final per-unit container: fragment payloads concatenated with a
-    length index (reduce side never re-encodes)."""
-    head = [_FRAG_MAGIC, len(frags).to_bytes(4, "little")]
-    head.extend(len(f).to_bytes(8, "little") for f in frags)
-    return b"".join(head) + b"".join(frags)
+    def __init__(self, payload_dir: str):
+        self._dir = payload_dir
+        self._fh = None
+        self.name = ""
+        self.offset = 0
 
+    def write(self, payload: bytes) -> tuple[str, int, int]:
+        if self._fh is None:
+            from pyspark import TaskContext
 
-def unpack_fragments(payload: bytes) -> list[bytes]:
-    if payload[:4] != _FRAG_MAGIC:
-        raise ValueError("bad unit container magic")
-    n = int.from_bytes(payload[4:8], "little")
-    lens = [int.from_bytes(payload[8 + 8 * i : 16 + 8 * i], "little") for i in range(n)]
-    out = []
-    pos = 8 + 8 * n
-    for ln in lens:
-        out.append(payload[pos : pos + ln])
-        pos += ln
-    return out
+            ctx = TaskContext.get()
+            attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+            os.makedirs(self._dir, exist_ok=True)
+            self.name = f"frag-{attempt}-{uuid.uuid4().hex[:8]}.bin"
+            self._fh = open(os.path.join(self._dir, self.name), "wb")
+        off = self.offset
+        self._fh.write(payload)
+        self.offset += len(payload)
+        return self.name, off, len(payload)
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
 
 
 @dataclass
@@ -83,13 +104,29 @@ def _plan_path(output_dir: str) -> str:
     return os.path.join(output_dir, "plan.json")
 
 
-def load_or_build_plan(df, cfg: EncodeJobConfig) -> EncodePlan:
-    """Reuse the persisted plan (stable unit identity across resumes) or
-    build one from a deterministic sample."""
-    path = _plan_path(cfg.output_dir)
+def _persist_plan(plan: EncodePlan, output_dir: str) -> None:
+    path = _plan_path(output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(plan.to_json())
+    os.replace(tmp, path)
+
+
+def _load_plan(output_dir: str) -> EncodePlan | None:
+    path = _plan_path(output_dir)
     if os.path.exists(path):
         with open(path) as f:
             return EncodePlan.from_json(f.read())
+    return None
+
+
+def load_or_build_plan(df, cfg: EncodeJobConfig) -> EncodePlan:
+    """Reuse the persisted plan (stable unit identity across resumes) or
+    build one from a deterministic sample."""
+    plan = _load_plan(cfg.output_dir)
+    if plan is not None:
+        return plan
     plan = plan_encode(
         df,
         key_col=cfg.key_col,
@@ -97,11 +134,74 @@ def load_or_build_plan(df, cfg: EncodeJobConfig) -> EncodePlan:
         target_bytes=cfg.target_unit_bytes,
         sample_rows=cfg.sample_rows,
     )
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(plan.to_json())
-    os.replace(tmp, path)
+    _persist_plan(plan, cfg.output_dir)
+    return plan
+
+
+def _parquet_work_items(input_dir: str) -> tuple[list[tuple[str, int]], int]:
+    """(file, row-group) work-list + total row count from the footers.  At
+    nominal (Iceberg) scale both come from the table's manifests instead
+    of a directory listing."""
+    import pyarrow.parquet as pq
+
+    items: list[tuple[str, int]] = []
+    total_rows = 0
+    for fn in sorted(os.listdir(input_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(input_dir, fn)
+        md = pq.ParquetFile(full).metadata
+        total_rows += md.num_rows
+        items.extend((full, rg) for rg in range(md.num_row_groups))
+    return items, total_rows
+
+
+def load_or_build_plan_parquet(
+    spark, items: list[tuple[str, int]], total_rows: int, cfg: EncodeJobConfig
+) -> EncodePlan:
+    """Parquet-path planner: sample (key, row-size) from a deterministic
+    subset of row groups, read IN PARALLEL by pyarrow inside Python
+    workers — the full input is never scanned and no raw rows cross the
+    JVM boundary (a DataFrame ``.sample()`` would scan everything)."""
+    plan = _load_plan(cfg.output_dir)
+    if plan is not None:
+        return plan
+
+    from ..plans.partitioning import plan_from_sample
+
+    key_col = cfg.key_col
+    size_cols = list(cfg.size_cols)
+    pick = items[:: max(1, len(items) // 16)][:16]
+    per_item = max(64, cfg.sample_rows // len(pick))
+
+    def sample_rg(iterator):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for batch in iterator:
+            for path, rg in zip(batch.column("path").to_pylist(), batch.column("rg").to_pylist()):
+                tbl = pq.ParquetFile(path).read_row_group(
+                    rg, columns=[key_col] + size_cols, use_threads=False
+                )
+                stride = max(1, tbl.num_rows // per_item)
+                tbl = tbl.take(pa.array(range(0, tbl.num_rows, stride)))
+                sz = None
+                for c in size_cols:
+                    ln = pc.coalesce(pc.binary_length(tbl.column(c)), pa.scalar(0)).cast("int64")
+                    sz = ln if sz is None else pc.add(sz, ln)
+                k = tbl.column(key_col).cast(pa.string()).combine_chunks()
+                if isinstance(sz, pa.ChunkedArray):
+                    sz = sz.combine_chunks()
+                yield pa.RecordBatch.from_pydict({"k": k, "sz": sz})
+
+    sample = (
+        spark.createDataFrame(pick, "path string, rg int")
+        .repartition(len(pick))
+        .mapInArrow(sample_rg, "k string, sz long")
+        .toPandas()
+    )
+    plan = plan_from_sample(sample, total_rows, key_col, cfg.target_unit_bytes)
+    _persist_plan(plan, cfg.output_dir)
     return plan
 
 
@@ -114,8 +214,89 @@ def completed_units(spark, output_dir: str) -> set[int]:
     return {r.unit for r in rows}
 
 
+def _encode_stream(
+    iterator, plan_local: EncodePlan, done_local: np.ndarray, key_col: str, payload_dir: str
+):
+    """Core map-side combine: consume Arrow record batches, bucket rows
+    into encode units, write one encoded fragment per buffered unit to the
+    task's payload file, and emit manifest rows.  Shared by the DataFrame
+    input path and the direct-parquet input path."""
+    from ..plans.partitioning import _fixed_width
+
+    buf: dict[int, list] = {}
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        units = assign_units_arrow(batch.column(key_col), plan_local)
+        keys = _fixed_width(batch.column(key_col))
+        if done_local.size:
+            keep = ~np.isin(units, done_local)
+            if not keep.all():
+                idx = np.flatnonzero(keep)
+                batch = batch.take(pa.array(idx))
+                units = units[keep]
+                keys = keys[keep]
+        if len(units) == 0:
+            continue
+        order = np.lexsort((keys, units))
+        batch = batch.take(pa.array(order))
+        units = units[order]
+        change = np.flatnonzero(units[1:] != units[:-1])
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(units)]))
+        for s, e in zip(starts, ends):
+            buf.setdefault(int(units[s]), []).append(batch.slice(s, e - s))
+    # train FSST tables ONCE per task from the largest buffered unit's
+    # string/binary columns; fragments reuse them (the per-fragment
+    # trial still falls back to plain if a table fits poorly)
+    fsst_tables = {}
+    if buf:
+        biggest = max(buf.values(), key=lambda bs: sum(b.nbytes for b in bs))
+        probe = pa.Table.from_batches(biggest)
+        for field in probe.schema:
+            if pa.types.is_string(field.type) or pa.types.is_binary(field.type) or \
+               pa.types.is_large_string(field.type) or pa.types.is_large_binary(field.type):
+                col = probe.column(field.name).combine_chunks()
+                bufs_ = col.buffers()
+                if bufs_[2] is not None and bufs_[2].size >= 64:
+                    sample = bufs_[2].to_pybytes()[:65536]
+                    from ..codecs.fsst import fsst_train
+
+                    fsst_tables[field.name] = fsst_train(sample)
+
+    writer = _TaskPayloadWriter(payload_dir)
+    try:
+        rows: dict[str, list] = {
+            k: []
+            for k in (
+                "unit", "first_key", "n_rows", "bytes_in", "bytes_out",
+                "wall_ms", "codecs", "file", "offset", "length",
+            )
+        }
+        for unit in sorted(buf):
+            t0 = time.perf_counter()
+            tbl = pa.Table.from_batches(buf[unit])
+            payload, report = serialize_chunk(tbl, fsst_tables)
+            fname, off, length = writer.write(payload)
+            wall = (time.perf_counter() - t0) * 1000
+            rows["unit"].append(unit)
+            rows["first_key"].append(tbl.column(key_col)[0].as_py() if tbl.num_rows else "")
+            rows["n_rows"].append(tbl.num_rows)
+            rows["bytes_in"].append(report["bytes_in"])
+            rows["bytes_out"].append(len(payload))
+            rows["wall_ms"].append(wall)
+            rows["codecs"].append(json.dumps({c["name"]: c["codec"] for c in report["columns"]}))
+            rows["file"].append(fname)
+            rows["offset"].append(off)
+            rows["length"].append(length)
+    finally:
+        writer.close()
+    if rows["unit"]:
+        yield pa.RecordBatch.from_pydict(rows)
+
+
 def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
-    """Run (or resume) the encode job.
+    """Run (or resume) the encode job over an arbitrary DataFrame.
 
     Map-side combine: every input partition encodes its rows into
     per-unit *fragments* before the shuffle, so the exchange carries
@@ -125,128 +306,111 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     container; nothing is re-encoded.  Fragment boundaries depend on input
     splits, so payload bytes may differ between runs at different
     parallelism — decoded data is identical (the north-rule invariant),
-    and resume stays unit-atomic via lineage."""
+    and resume stays unit-atomic via lineage.
+
+    For parquet-backed inputs prefer :func:`encode_parquet_job`: this
+    DataFrame path pays a JVM->Python Arrow transfer of every raw row,
+    which measurably anti-scales on fault-expensive kernels."""
     plan = load_or_build_plan(df, cfg)
     done = completed_units(spark, cfg.output_dir)
-    n_units = plan.n_units
 
     bplan = spark.sparkContext.broadcast(plan.to_json())
     bdone = spark.sparkContext.broadcast(sorted(done))
     key_col = cfg.key_col
+    payload_dir = os.path.join(cfg.output_dir, "payload")
 
     def map_encode(iterator):
-        from ..plans.partitioning import _fixed_width
-
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
-        buf: dict[int, list] = {}
-        for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            units = assign_units_arrow(batch.column(key_col), plan_local)
-            keys = _fixed_width(batch.column(key_col))
-            if done_local.size:
-                keep = ~np.isin(units, done_local)
-                if not keep.all():
-                    idx = np.flatnonzero(keep)
-                    batch = batch.take(pa.array(idx))
-                    units = units[keep]
-                    keys = keys[keep]
-            if len(units) == 0:
-                continue
-            order = np.lexsort((keys, units))
-            batch = batch.take(pa.array(order))
-            units = units[order]
-            change = np.flatnonzero(units[1:] != units[:-1])
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(units)]))
-            for s, e in zip(starts, ends):
-                buf.setdefault(int(units[s]), []).append(batch.slice(s, e - s))
-        # train FSST tables ONCE per task from the largest buffered unit's
-        # string/binary columns; fragments reuse them (the per-fragment
-        # trial still falls back to plain if a table fits poorly)
-        fsst_tables = {}
-        if buf:
-            biggest = max(buf.values(), key=lambda bs: sum(b.nbytes for b in bs))
-            probe = pa.Table.from_batches(biggest)
-            for field in probe.schema:
-                if pa.types.is_string(field.type) or pa.types.is_binary(field.type) or \
-                   pa.types.is_large_string(field.type) or pa.types.is_large_binary(field.type):
-                    col = probe.column(field.name).combine_chunks()
-                    bufs_ = col.buffers()
-                    if bufs_[2] is not None and bufs_[2].size >= 64:
-                        sample = bufs_[2].to_pybytes()[:65536]
-                        from ..codecs.fsst import fsst_train
-
-                        fsst_tables[field.name] = fsst_train(sample)
-
-        for unit in sorted(buf):
-            t0 = time.perf_counter()
-            tbl = pa.Table.from_batches(buf[unit])
-            payload, report = serialize_chunk(tbl, fsst_tables)
-            wall = (time.perf_counter() - t0) * 1000
-            first_key = tbl.column(key_col)[0].as_py() if tbl.num_rows else ""
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "unit": [unit],
-                    "first_key": [first_key],
-                    "n_rows": [tbl.num_rows],
-                    "bytes_in": [report["bytes_in"]],
-                    "bytes_out": [len(payload)],
-                    "wall_ms": [wall],
-                    "codecs": [json.dumps({c["name"]: c["codec"] for c in report["columns"]})],
-                    "payload": [payload],
-                }
-            )
-
-    from pyspark.sql import functions as F
+        yield from _encode_stream(iterator, plan_local, done_local, key_col, payload_dir)
 
     frags = df.mapInArrow(map_encode, FRAG_SCHEMA)
-    shuffled = frags.repartition(max(n_units - len(done), 1), F.col("unit"))
+    return _finish_encode(spark, frags, plan, done, cfg)
 
-    def reduce_combine(iterator):
-        per_unit: dict[int, list] = {}
-        for batch in iterator:
-            d = batch.to_pydict()
-            for i in range(batch.num_rows):
-                per_unit.setdefault(d["unit"][i], []).append(
-                    (
-                        d["first_key"][i],
-                        d["n_rows"][i],
-                        d["bytes_in"][i],
-                        d["wall_ms"][i],
-                        d["codecs"][i],
-                        d["payload"][i],
-                    )
-                )
-        for unit in sorted(per_unit):
-            frag_rows = sorted(per_unit[unit], key=lambda r: r[0])
-            payload = pack_fragments([r[5] for r in frag_rows])
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "unit": [unit],
-                    "n_rows": [int(sum(r[1] for r in frag_rows))],
-                    "bytes_in": [int(sum(r[2] for r in frag_rows))],
-                    "bytes_out": [len(payload)],
-                    "wall_ms": [float(sum(r[3] for r in frag_rows))],
-                    "codecs": [frag_rows[0][4]],
-                    "payload": [payload],
-                }
-            )
 
-    encoded = shuffled.mapInArrow(reduce_combine, ENC_SCHEMA)
+def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: int = 65536) -> dict:
+    """Run (or resume) the encode job reading parquet directly in the
+    Python workers.
+
+    The work-list is (file, row-group) pairs — at nominal (Iceberg) scale
+    this list comes from the table's manifests; here it is built from file
+    footers on the driver.  Each task opens its row groups with the Arrow
+    C++ parquet reader, so raw rows NEVER cross the JVM<->Python boundary:
+    the only Arrow-IPC traffic is the encoded fragments (~5x smaller).
+    This is the scan topology a 1000-executor job wants — column chunks
+    stream from storage straight into the encode kernels — and it is what
+    `bench.py` measures."""
+    import pyarrow.parquet as pq
+
+    items, total_rows = _parquet_work_items(input_dir)
+    if not items:
+        raise ValueError(f"no parquet files under {input_dir}")
+    plan = load_or_build_plan_parquet(spark, items, total_rows, cfg)
+    done = completed_units(spark, cfg.output_dir)
+
+    bplan = spark.sparkContext.broadcast(plan.to_json())
+    bdone = spark.sparkContext.broadcast(sorted(done))
+    key_col = cfg.key_col
+    payload_dir = os.path.join(cfg.output_dir, "payload")
+
+    def map_encode_files(iterator):
+        plan_local = EncodePlan.from_json(bplan.value)
+        done_local = np.array(bdone.value, dtype=np.int64)
+
+        def batches():
+            for batch in iterator:
+                paths = batch.column("path").to_pylist()
+                rgs = batch.column("rg").to_pylist()
+                for path, rg in zip(paths, rgs):
+                    pf = pq.ParquetFile(path)
+                    tbl = pf.read_row_group(rg, use_threads=False)
+                    tbl = _timestamps_to_us(tbl)
+                    yield from tbl.to_batches(max_chunksize=batch_rows)
+
+        yield from _encode_stream(batches(), plan_local, done_local, key_col, payload_dir)
+
+    # 4 waves of map tasks: fragment count is (map tasks x touched units),
+    # and tiny fragments hurt both throughput and compression ratio, so
+    # don't split the work-list finer than the cluster can run at once
+    n_map = max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
+    work = spark.createDataFrame(items, "path string, rg int").repartition(n_map)
+    frags = work.mapInArrow(map_encode_files, FRAG_SCHEMA)
+    return _finish_encode(spark, frags, plan, done, cfg)
+
+
+def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJobConfig) -> dict:
+    """Shared tail of the encode job: append MANIFEST rows (tagged with
+    this run's id) — a NARROW stage, and the encoded bytes themselves were
+    already written to payload files by the map tasks, so the JVM never
+    touches them — then derive per-unit lineage from the committed
+    manifest and aggregate metrics.  See the module docstring for why this
+    is crash-safe without unit consolidation."""
+    from pyspark.sql import functions as F
+
+    n_units = plan.n_units
     data_dir = os.path.join(cfg.output_dir, "data")
     t_stage = time.perf_counter()
     (
-        encoded.write.mode("append")
-        .option("compression", "uncompressed")
+        frags.withColumn("run_id", F.lit(cfg.run_id))
+        .write.mode("append")
         .parquet(data_dir)
     )
     stage_wall = time.perf_counter() - t_stage
 
-    # lineage from the COMMITTED sink (column-pruned read: payload skipped)
-    sink = spark.read.parquet(data_dir).drop("payload")
-    new_units = sink.where(~F.col("unit").isin(list(done)) if done else F.lit(True))
+    # per-unit lineage from the COMMITTED manifest, this run's rows only
+    sink = spark.read.parquet(data_dir).drop("first_key")
+    new_units = (
+        sink.where(F.col("run_id") == cfg.run_id)
+        .groupBy("unit")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("wall_ms").alias("wall_ms"),
+            F.count("*").alias("n_fragments"),
+            F.first("codecs").alias("codecs"),
+        )
+    )
     lineage = (
         new_units.withColumn("run_id", F.lit(cfg.run_id))
         .withColumn("status", F.lit("ok"))
@@ -254,12 +418,17 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     )
     lineage.write.mode("append").parquet(os.path.join(cfg.output_dir, "lineage"))
 
-    agg = sink.agg(
-        F.count("*").alias("units"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("bytes_in").alias("bytes_in"),
-        F.sum("bytes_out").alias("bytes_out"),
-    ).collect()[0]
+    agg = (
+        spark.read.parquet(os.path.join(cfg.output_dir, "lineage"))
+        .where("status = 'ok'")
+        .agg(
+            F.countDistinct("unit").alias("units"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+        .collect()[0]
+    )
     return {
         "run_id": cfg.run_id,
         "plan_units": n_units,
@@ -269,34 +438,84 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
         "bytes_in": int(agg.bytes_in or 0),
         "bytes_out": int(agg.bytes_out or 0),
         "ratio": (int(agg.bytes_out or 0) / int(agg.bytes_in)) if agg.bytes_in else None,
-        # wall of the assign→shuffle→encode→sink action alone (excludes
+        # wall of the read→assign→encode→sink action alone (excludes
         # planning and lineage bookkeeping, which are O(1) driver work)
         "encode_stage_sec": round(stage_wall, 3),
     }
 
 
 def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
-    """Read the encoded dataset back as a DataFrame of original rows."""
-    data_dir = os.path.join(output_dir, "data")
-    enc = spark.read.parquet(data_dir).select("unit", "payload").dropDuplicates(["unit"])
+    """Read the encoded dataset back as a DataFrame of original rows.
 
-    sample = spark.read.parquet(data_dir).select("payload").limit(1).collect()
+    Only fragments whose (unit, run_id) is recorded ok in lineage are
+    read: orphans from a run that crashed between the data commit and the
+    lineage commit are silently skipped (their units were re-encoded by
+    the resuming run)."""
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(output_dir, "data")
+    payload_dir = os.path.join(output_dir, "payload")
+    committed = (
+        spark.read.parquet(os.path.join(output_dir, "lineage"))
+        .where("status = 'ok'")
+        .select("unit", "run_id")
+    )
+    enc = (
+        spark.read.parquet(data_dir)
+        .select("unit", "run_id", "file", "offset", "length")
+        .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
+    )
+
+    sample = enc.select("file", "offset", "length").limit(1).collect()
     if not sample:
         raise ValueError("empty encoded dataset")
-    probe = deserialize_chunk(unpack_fragments(sample[0].payload)[0])
+    probe = deserialize_chunk(
+        _read_payload(os.path.join(payload_dir, sample[0].file), sample[0].offset, sample[0].length)
+    )
     out_schema = _arrow_to_ddl(probe.schema, columns)
 
     def decode(iterator):
-        for batch in iterator:
-            for payload in batch.column("payload"):
-                for frag in unpack_fragments(payload.as_py()):
-                    tbl = deserialize_chunk(frag)
+        handles: dict[str, object] = {}
+        try:
+            for batch in iterator:
+                files = batch.column("file").to_pylist()
+                offs = batch.column("offset").to_pylist()
+                lens = batch.column("length").to_pylist()
+                for fname, off, ln in zip(files, offs, lens):
+                    fh = handles.get(fname)
+                    if fh is None:
+                        fh = handles[fname] = open(os.path.join(payload_dir, fname), "rb")
+                    fh.seek(off)
+                    tbl = deserialize_chunk(fh.read(ln))
                     if columns:
                         tbl = tbl.select(columns)
                     for b in tbl.to_batches():
                         yield _normalize_batch(b)
+        finally:
+            for fh in handles.values():
+                fh.close()
 
-    return enc.mapInArrow(decode, out_schema)
+    return enc.select("file", "offset", "length").mapInArrow(decode, out_schema)
+
+
+def _read_payload(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return fh.read(length)
+
+
+def _timestamps_to_us(tbl: pa.Table) -> pa.Table:
+    """Spark's INT96 parquet timestamps read back as ns; Spark's Arrow
+    boundary only accepts µs (Spark timestamp semantics).  Lossless here —
+    the source values are µs-precision."""
+    fields = [
+        pa.field(f.name, pa.timestamp("us", f.type.tz), f.nullable)
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us"
+        else f
+        for f in tbl.schema
+    ]
+    target = pa.schema(fields)
+    return tbl.cast(target) if target != tbl.schema else tbl
 
 
 def _arrow_to_ddl(schema: pa.Schema, columns: list[str] | None) -> str:
@@ -341,6 +560,11 @@ def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             col = col.cast(pa.string())
         elif pa.types.is_large_binary(f.type):
             col = col.cast(pa.binary())
+        elif pa.types.is_timestamp(f.type) and (f.type.unit, f.type.tz) != ("us", "UTC"):
+            # one convention regardless of fragment provenance: µs UTC.
+            # Naive inputs are UTC instants (Spark internal micros), and a
+            # naive->aware cast attaches the zone without changing values.
+            col = col.cast(pa.timestamp("us", "UTC"))
         cols.append(col)
         fields.append(pa.field(f.name, col.type, f.nullable))
     return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))

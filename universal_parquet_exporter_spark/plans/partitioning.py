@@ -80,10 +80,23 @@ def plan_encode(
         .select(F.col(key_col).alias("k"), size_expr.alias("sz"))
         .toPandas()
     )
+    return plan_from_sample(sample, total_rows, key_col, target_bytes, hot_factor)
+
+
+def plan_from_sample(
+    sample,
+    total_rows: int,
+    key_col: str,
+    target_bytes: int,
+    hot_factor: float = 2.0,
+) -> EncodePlan:
+    """Build an :class:`EncodePlan` from a (k, sz) pandas sample — the
+    shared tail of both samplers (DataFrame-scan and parquet-footer)."""
     if len(sample) == 0:
         return EncodePlan(key_col, [], [1])
     # plan on KEY_WIDTH-byte prefixes — the same comparison the assigner
     # uses, so plan units and assigned units agree exactly
+    sample = sample.copy()
     sample["k"] = sample["k"].astype(str).str.slice(0, KEY_WIDTH)
     sample = sample.sort_values("k").reset_index(drop=True)
     scale = total_rows / len(sample)

@@ -20,13 +20,24 @@ def build_session(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    jvm_headroom: bool = False,
 ) -> SparkSession:
     """Build a local[n] session; on a real cluster the same confs apply and
-    ``master`` is supplied by spark-submit (BASELINE.md launch mode)."""
+    ``master`` is supplied by spark-submit (BASELINE.md launch mode).
+
+    ``jvm_headroom=True`` reserves 4 of ``cpus`` for the executor JVM's own
+    threads (GC, netty, task dispatch) when ``cpus >= 16`` — the standard
+    cluster practice of sizing ``spark.executor.cores`` below the machine
+    core count.  Measured here: with Python workers on every core, JVM
+    wakeups preempt the encode kernels and throughput DROPS at high core
+    counts; a 4-core reserve is the fastest 32-core configuration."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    task_slots = int(cpus)
+    if jvm_headroom and task_slots >= 16:
+        task_slots = task_slots - 4
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus), 4)
+        shuffle_partitions = max(task_slots, 4)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,27 +45,40 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # keep glibc from mmap-thrashing in Python workers (see memtune.py)
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483647")
+        # pyarrow's default jemalloc pool ignores mallopt and mmaps every
+        # large batch — catastrophic on fault-expensive kernels; the
+        # system pool routes through the tuned glibc malloc instead
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
+        # cap JVM background threads (GC/JIT default to one per core):
+        # on preemption-expensive kernels they steal cycles from the
+        # Python encode workers
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
+        )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cpus}]")
+        builder = builder.master(f"local[{task_slots}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
-def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 192) -> None:
+def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 48) -> None:
     """Touch every Python worker once: import the engine, compile/load the
-    native kernels, and fault-in a working set.  On fault-expensive kernels
-    the first big allocation in a fresh worker costs seconds; steady-state
-    throughput (the thing a 1000-executor job lives in) needs warm arenas.
-    One O(seconds) job, run before any timed work."""
+    native kernels, and fault-in a modest working set.  On fault-expensive
+    kernels the first big allocation in a fresh worker costs seconds;
+    steady-state throughput (the thing a 1000-executor job lives in) needs
+    warm arenas.  Kept deliberately small — on these kernels the fault-in
+    itself is so slow that an oversized warmup costs more wall time than
+    it ever saves."""
 
     def gen(iterator):
         import numpy as np
@@ -70,4 +94,4 @@ def warm_workers(spark: SparkSession, cpus: int, mb_per_worker: int = 192) -> No
         for batch in iterator:
             yield pa.RecordBatch.from_pydict({"id": batch.column(0)})
 
-    spark.range(cpus * 4, numPartitions=cpus * 4).mapInArrow(gen, "id long").count()
+    spark.range(cpus * 2, numPartitions=cpus * 2).mapInArrow(gen, "id long").count()
