@@ -240,15 +240,20 @@ def oracle_sql() -> dict[str, str]:
             "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
             "ORDER BY id_a, id_b"
         ),
+        # SRP-LSH blocking: hyperplanes = the first 6 vectors; bucket =
+        # sum of sign-bits weighted 2^plane_id; exact rerank in-bucket
         "dedup_embed": (
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6), "
+            "bk AS (SELECT e.vec_id, e.v, CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0 "
+            "THEN power(2.0, p.pid) ELSE 0 END) AS BIGINT) AS bucket FROM e, p GROUP BY e.vec_id, e.v) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS sim "
-            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
-            "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35 ORDER BY id_a, id_b"
+            "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3 ORDER BY id_a, id_b"
         ),
         "embed_ann_ivf": (
             "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-            "cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0), "
+            "cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 20), "
             "asg AS (SELECT id, cid AS list_id FROM ("
             "SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id "
             "ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn FROM e, cent c) WHERE rn = 1), "

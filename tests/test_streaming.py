@@ -90,3 +90,40 @@ def test_streaming_quality_matches_batch(spark, checkpoint, staged):
     got = spark.table("t_quality")
     assert got.count() == spark.read.parquet(src).count()
     assert got.where(F.col("n_tokens") < 0).count() == 0
+
+
+def test_stateful_running_totals_across_batches(spark, checkpoint):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two staged files -> two triggers -> final snapshot is cumulative."""
+    from universal_parquet_exporter_spark.streaming import streaming_running_totals
+
+    src = os.path.join(checkpoint, "src_events2")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), os.path.join(src, "b.parquet"))
+    schema = spark.read.parquet(src).schema
+
+    stream_df = streaming_running_totals(spark, src, schema)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_state")
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    # the LAST update per key must equal the doubled batch totals
+    final = got.groupBy("event_type").agg(F.max("n").alias("n"))
+    exp = {r.event_type: r.n for r in batch.collect()}
+    for r in final.collect():
+        assert r.n == exp[r.event_type], (r.event_type, r.n, exp[r.event_type])
+    # and intermediate snapshots exist (cross-batch state was exercised)
+    assert got.count() > final.count()

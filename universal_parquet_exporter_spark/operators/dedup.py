@@ -256,9 +256,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the embeddings table:
-    exact all-pairs rerank (the candidate-generation scale path is LSH /
-    IVF — see :mod:`.similarity`)."""
+    SRP-LSH blocking (6 deterministic hyperplanes -> 64 buckets) followed
+    by an exact cosine rerank within each bucket — the sum-of-bucket-
+    squares scale path, not the quadratic all-pairs scan (which
+    :func:`similarity.embedding_near_dup_pairs` still offers with
+    ``n_planes=0``)."""
     from .similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, threshold=0.3, n_planes=6).orderBy("id_a", "id_b")

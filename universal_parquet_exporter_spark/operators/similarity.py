@@ -109,21 +109,32 @@ def embedding_near_dup_pairs(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 0,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs: all (a, b) with
-    ``a < b`` and ``round(cosine, 4) >= threshold``.
+    """Embedding-cosine near-duplicate pairs: (a, b) with ``a < b`` and
+    ``round(cosine, 4) >= threshold``.
 
-    This is the exact baseline (all-pairs, JVM-side dot products, small
-    side broadcast into a nested-loop join).  At 100 TB the same rerank
-    runs over candidates prefiltered by :func:`srp_buckets` (LSH) or the
-    IVF lists of :func:`ivf_assign` — the exact kernel is identical, only
-    the candidate generation narrows."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ``n_planes = 0`` is the exact all-pairs baseline (small side
+    broadcast into a nested-loop join) — quadratic, for modest corpora.
+    ``n_planes > 0`` is the scale path: SRP-LSH blocking
+    (:func:`srp_buckets`, hyperplanes = the first ``n_planes`` corpus
+    vectors, deterministic in any engine) turns the O(n^2) search into a
+    bucket-equi-join — sum of per-bucket squares — then the exact cosine
+    rerank runs only within buckets.  Same exact kernel, narrowed
+    candidates; pairs split across buckets are the (bounded, standard)
+    LSH recall tradeoff."""
+    if n_planes > 0:
+        buckets = srp_buckets(df, planes=df, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+        v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(buckets, "id")
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("bucket").alias("ba"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket").alias("bb"))
+        pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -161,13 +172,15 @@ def ivf_assign(
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (every 25th vector),
-    single-probe inverted-list assignment for the corpus, 2-probe for the
-    queries, exact cosine rerank within the probed lists.  The scale path
-    of :func:`q_embed_topk` where recall matters more than LSH's speed."""
+    """IVF-style ANN: a FIXED number of deterministic coarse centroids
+    (the first 20 vectors — corpus-size-independent, so assignment cost
+    stays linear in n), single-probe inverted-list assignment for the
+    corpus, 2-probe for the queries, exact cosine rerank within the
+    probed lists.  The scale path of :func:`q_embed_topk` where recall
+    matters more than LSH's speed."""
     emb = _t(spark, sf_dir, "embeddings")
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-    cent = vecs.filter(F.col("id") % 25 == 0).select(
+    cent = vecs.filter(F.col("id") < 20).select(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
     lists = ivf_assign(vecs, cent, nprobe=1)

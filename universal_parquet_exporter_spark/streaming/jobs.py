@@ -54,3 +54,36 @@ def streaming_quality_scores(spark: SparkSession, source_dir: str, schema) -> Da
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
     )
+
+
+def streaming_running_totals(spark: SparkSession, source_dir: str, schema) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-event_type row counts and value sums maintained across
+    micro-batches (state survives between triggers via the checkpoint).
+    Each trigger emits the updated cumulative snapshot for the keys it
+    touched.  ``maxFilesPerTrigger=1`` keeps one file per micro-batch so
+    cross-batch state is actually exercised."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, n long, total_value double",
+        "n long, total_value double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
