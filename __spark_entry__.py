@@ -5,8 +5,11 @@ DataFrame program (universal_parquet_exporter_spark.operators.*);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares
 against (row count + schema + order-insensitive value hash).  Names are
 aliased identically on both sides.  Non-SQL-expressible ops (simhash's
-64-wide bit aggregation, the multimodal LSH variant's plan shape) are
-rows-only checks by design.
+64-wide bit aggregation, the SRP-LSH ANN variant's plan shape) are
+rows-only checks by design.  ``encode_roundtrip`` runs the REAL codec
+engine (encode + decode of the documents table) against a plain SELECT
+oracle, so the driver's value hash certifies the engine's bit-identical
+round trip every round.
 """
 
 from __future__ import annotations
@@ -15,6 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from universal_parquet_exporter_spark.encode.pipeline import (
+    q_encode_roundtrip as _q_encode_roundtrip,
+)
 from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
 
 
@@ -72,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textstats.q_fingerprint,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "media_frames": multimodal.q_media_frames,
+        # --- the encode engine itself, oracle-checked end-to-end ---
+        "encode_roundtrip": _q_encode_roundtrip,
     }
 
 
@@ -339,6 +347,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(i AS INT) AS frame_idx, (n * i) // 4 AS frame_off, "
             "md5(substr(b, CAST((n * i) // 4 AS BIGINT) + 1, CAST(least(16, n - (n * i) // 4) AS BIGINT))) AS frame_md5 "
             "FROM d, range(4) t(i)"
+        ),
+        # the engine round trip must reproduce the source table exactly
+        "encode_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "

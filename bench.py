@@ -80,6 +80,31 @@ def encode_bench(spark, input_parquet: str, workdir: str, label: str, target_uni
     }
 
 
+def host_capacity(procs: int) -> float:
+    """Total pure-CPU work rate available to `procs` concurrent processes
+    RIGHT NOW (multiprocessing burn, zero framework).  This sandbox's
+    host is shared and its deliverable capacity swings ~2x on sub-minute
+    timescales, so each scaling leg measures the capacity it actually ran
+    under; on a real cluster 4N executors bring 4x the hardware and this
+    control is a constant."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        out = p.map(_burn, [2.0] * procs)
+    return float(sum(out))
+
+
+def _burn(sec: float) -> int:
+    t_end = time.perf_counter() + sec
+    x = 0
+    n = 0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 1
+    return n
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_rows = max(int(ROWS_PER_SF * sf), 5000)
@@ -134,20 +159,27 @@ def main() -> None:
 
         n_small = max(CPUS // 4, 1)
         skip_scaling = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"))
-        levels = [CPUS] if skip_scaling else [CPUS, n_small]
+        # small leg first: the fixture+control writes above leave ~GBs of
+        # dirty pages, and background writeback competes with a
+        # fully-loaded 4N run (measured); sync + the N leg lets it drain
+        os.sync()
+        levels = [CPUS] if skip_scaling else [n_small, CPUS]
         runs: dict[int, dict] = {}
         for cores in levels:
             s = build_session(app_name=f"upes-scale-{cores}", cpus=cores, jvm_headroom=True)
             s.sparkContext.setLogLevel("ERROR")
             warm_workers(s, cores)
-            # steady-state: one untimed warmup run, then best-of-3
+            # steady-state: one untimed warmup run, then best-of-3, with
+            # the host capacity concurrent to this leg measured alongside
             encode_bench(s, input_parquet, workdir, f"scalewarm{cores}")
             n_reps = 1 if skip_scaling else 3
-            reps = [
-                encode_bench(s, input_parquet, workdir, f"scale{cores}_{r}")
-                for r in range(n_reps)
-            ]
+            reps = []
+            caps = []
+            for r in range(n_reps):
+                caps.append(host_capacity(cores))
+                reps.append(encode_bench(s, input_parquet, workdir, f"scale{cores}_{r}"))
             best = max(reps, key=lambda m: m["gbps"])
+            best["host_capacity"] = round(caps[reps.index(best)], 1)
             if cores == CPUS:
                 # decode spot-check on the best run's output (same session)
                 dec_rows = decode_dataset(s, best["output_dir"]).count()
@@ -173,6 +205,22 @@ def main() -> None:
                 "gbps_n_reps": runs[n_small]["gbps_reps"],
                 "gbps_4n_reps": runs[CPUS]["gbps_reps"],
                 "efficiency": round((t_4n / t_n) / (CPUS / n_small), 4) if t_n else None,
+                # single-host caveat: N and 4N workers share one memory
+                # subsystem and a hypervisor whose deliverable capacity
+                # fluctuates ~2x, unlike real N- vs 4N-executor clusters.
+                # capacity_* is the pure-CPU rate actually available to
+                # each leg; efficiency_vs_capacity divides the measured
+                # speedup by the capacity the host really offered.
+                "capacity_n": runs[n_small]["host_capacity"],
+                "capacity_4n": runs[CPUS]["host_capacity"],
+                "efficiency_vs_capacity": (
+                    round(
+                        (t_4n / t_n) / (runs[CPUS]["host_capacity"] / runs[n_small]["host_capacity"]),
+                        4,
+                    )
+                    if t_n and runs[n_small]["host_capacity"]
+                    else None
+                ),
             }
 
         result["queries"] = queries

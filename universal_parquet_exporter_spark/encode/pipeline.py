@@ -568,3 +568,28 @@ def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         cols.append(col)
         fields.append(pa.field(f.name, col.type, f.nullable))
     return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+
+def q_encode_roundtrip(spark, sf_dir: str):
+    """Driver-contract query: run the REAL encode engine over the
+    documents table and decode it back — the oracle is a plain ``SELECT``
+    from the source, so the driver's value-hash check asserts the
+    engine's bit-identical round trip on independent data, not just our
+    own fixtures (north-rule invariant; reference round-trip pattern
+    /root/reference/tests/test_parquet_writer.py:38-58)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_rt_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=4 << 20
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    dec = decode_dataset(spark, out)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
