@@ -63,34 +63,45 @@ static inline uint64_t load8(const uint8_t* p) {
     return w;
 }
 
+/* two-level dispatch: symbols of length >= 2 are grouped by their FIRST
+   TWO bytes (first2_off[w2]..first2_off[w2+1], length-desc within a
+   bucket), so the candidate scan touches only symbols that already match
+   2 bytes; length-1 symbols resolve via the direct code1[256] table.
+   Greedy longest-match semantics identical to the NumPy fallback. */
 int64_t upes_fsst_encode(const uint8_t* data, int64_t n,
                          const uint64_t* sym_val, const uint64_t* sym_mask,
-                         const int32_t* sym_len, const uint8_t* grouped,
-                         const int32_t* first_off, uint8_t* out) {
+                         const int32_t* sym_len, const uint8_t* grouped2,
+                         const int32_t* first2_off, const int16_t* code1,
+                         uint8_t* out) {
     int64_t i = 0, pos = 0;
     int64_t safe = n - 8;
     while (i < n) {
-        uint8_t b = data[i];
-        int32_t lo = first_off[b], hi = first_off[b + 1];
-        if (lo == hi) { out[pos++] = 255; out[pos++] = b; i += 1; continue; }
-        uint64_t w;
         int64_t rem = n - i;
-        if (i <= safe) {
-            w = load8(data + i);
-        } else {
-            w = 0;
-            memcpy(&w, data + i, rem);
-        }
-        int best = -1, bl = 0;
-        for (int32_t k = lo; k < hi; k++) {
-            int c = grouped[k];
-            int l = sym_len[c];
-            if (l <= rem && (w & sym_mask[c]) == sym_val[c]) {
-                best = c; bl = l; break;  /* length-desc order: first hit = longest */
+        if (rem >= 2) {
+            uint32_t w2 = (uint32_t)data[i] | ((uint32_t)data[i + 1] << 8);
+            int32_t lo = first2_off[w2], hi = first2_off[w2 + 1];
+            if (lo != hi) {
+                uint64_t w;
+                if (i <= safe) {
+                    w = load8(data + i);
+                } else {
+                    w = 0;
+                    memcpy(&w, data + i, rem);
+                }
+                int best = -1, bl = 0;
+                for (int32_t k = lo; k < hi; k++) {
+                    int c = grouped2[k];
+                    int l = sym_len[c];
+                    if (l <= rem && (w & sym_mask[c]) == sym_val[c]) {
+                        best = c; bl = l; break;  /* length-desc: first hit = longest */
+                    }
+                }
+                if (best >= 0) { out[pos++] = (uint8_t)best; i += bl; continue; }
             }
         }
-        if (best >= 0) { out[pos++] = (uint8_t)best; i += bl; }
-        else { out[pos++] = 255; out[pos++] = b; i += 1; }
+        int16_t c1 = code1[data[i]];
+        if (c1 >= 0) { out[pos++] = (uint8_t)c1; i += 1; }
+        else { out[pos++] = 255; out[pos++] = data[i]; i += 1; }
     }
     return pos;
 }
@@ -126,8 +137,11 @@ _lib = None
 _tried = False
 
 
+_CFLAGS = ["-O3", "-march=native", "-funroll-loops"]
+
+
 def _build() -> "ctypes.CDLL | None":
-    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    digest = hashlib.sha256((_C_SRC + repr(_CFLAGS)).encode()).hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), "upes_native")
     so_path = os.path.join(cache_dir, f"upes_{digest}.so")
     if not os.path.exists(so_path):
@@ -136,12 +150,21 @@ def _build() -> "ctypes.CDLL | None":
         tmp_so = so_path + f".tmp{os.getpid()}"
         with open(src_path, "w") as f:
             f.write(_C_SRC)
-        subprocess.run(
-            ["gcc", "-O3", "-shared", "-fPIC", src_path, "-o", tmp_so],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        try:
+            subprocess.run(
+                ["gcc", *_CFLAGS, "-shared", "-fPIC", src_path, "-o", tmp_so],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except subprocess.CalledProcessError:
+            # -march=native unsupported on some toolchains
+            subprocess.run(
+                ["gcc", "-O3", "-shared", "-fPIC", src_path, "-o", tmp_so],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
         os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
     lib = ctypes.CDLL(so_path)
     i64, i32p, u8p, u64p, c_int = (
@@ -155,7 +178,8 @@ def _build() -> "ctypes.CDLL | None":
     lib.upes_bitpack.restype = None
     lib.upes_bitunpack.argtypes = [u8p, i64, c_int, u64p]
     lib.upes_bitunpack.restype = None
-    lib.upes_fsst_encode.argtypes = [u8p, i64, u64p, u64p, i32p, u8p, i32p, u8p]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.upes_fsst_encode.argtypes = [u8p, i64, u64p, u64p, i32p, u8p, i32p, i16p, u8p]
     lib.upes_fsst_encode.restype = i64
     lib.upes_fsst_decoded_size.argtypes = [u8p, i64, i32p]
     lib.upes_fsst_decoded_size.restype = i64

@@ -50,10 +50,13 @@ class FsstTable:
         return b"".join(self.symbols)
 
     def native_arrays(self):
-        """(sym_flat u8, sym_off i32, sym_len i32, grouped u8, first_off
-        i32, sym_val u64, sym_mask u64) — symbol codes grouped by first
-        byte, length-desc within a group, plus little-endian 8-byte
-        value/mask pairs for the C one-load candidate check."""
+        """(sym_flat u8, sym_off i32, sym_len i32, grouped2 u8, first2_off
+        i32[65537], code1 i16[256], sym_val u64, sym_mask u64) — symbols of
+        length >= 2 grouped by their FIRST TWO bytes (length-desc within a
+        bucket) so the C scan only examines candidates that already match
+        two bytes; length-1 symbols resolve via the direct code1 table.
+        Little-endian 8-byte value/mask pairs give a one-load candidate
+        check."""
         if self._arrays is None:
             lens = np.array([len(s) for s in self.symbols], dtype=np.int32)
             offs = np.zeros(len(self.symbols) + 1, dtype=np.int32)
@@ -61,21 +64,31 @@ class FsstTable:
             flat = np.frombuffer(self.table_buffer(), dtype=np.uint8)
             vals = np.zeros(max(len(self.symbols), 1), dtype=np.uint64)
             masks = np.zeros(max(len(self.symbols), 1), dtype=np.uint64)
-            by_first: dict[int, list[int]] = {}
+            code1 = np.full(256, -1, dtype=np.int16)
+            by_first2: dict[int, list[int]] = {}
             for code, sym in enumerate(self.symbols):
-                by_first.setdefault(sym[0], []).append(code)
                 vals[code] = int.from_bytes(sym.ljust(8, b"\x00"), "little")
                 masks[code] = (1 << (8 * len(sym))) - 1 if len(sym) < 8 else 0xFFFFFFFFFFFFFFFF
+                if len(sym) == 1:
+                    code1[sym[0]] = code
+                else:
+                    by_first2.setdefault(sym[0] | (sym[1] << 8), []).append(code)
             grouped_list: list[int] = []
-            first_off = np.zeros(257, dtype=np.int32)
-            for b in range(256):
-                first_off[b] = len(grouped_list)
-                codes = by_first.get(b, [])
+            first2_off = np.zeros(65537, dtype=np.int32)
+            # cumulative bucket offsets without a 65536-iteration Python
+            # loop: only occupied buckets contribute
+            counts = np.zeros(65536, dtype=np.int32)
+            for w2, codes in by_first2.items():
                 codes.sort(key=lambda c: (-len(self.symbols[c]), c))
-                grouped_list.extend(codes)
-            first_off[256] = len(grouped_list)
-            grouped = np.array(grouped_list, dtype=np.uint8)
-            self._arrays = (flat, offs[:-1].copy(), lens, grouped, first_off, vals, masks)
+                counts[w2] = len(codes)
+            np.cumsum(counts, out=first2_off[1:])
+            order = sorted(by_first2)
+            for w2 in order:
+                grouped_list.extend(by_first2[w2])
+            grouped2 = np.array(grouped_list, dtype=np.uint8)
+            self._arrays = (
+                flat, offs[:-1].copy(), lens, grouped2, first2_off, code1, vals, masks
+            )
         return self._arrays
 
     @staticmethod
@@ -193,16 +206,18 @@ def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, grouped, first_off, vals, masks = table.native_arrays()
+        flat, offs, lens, grouped2, first2_off, code1, vals, masks = table.native_arrays()
         out = np.empty(2 * n, dtype=np.uint8)  # worst case: all escaped
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         m = lib.upes_fsst_encode(
             d.ctypes.data_as(u8p), n,
             vals.ctypes.data_as(u64p), masks.ctypes.data_as(u64p),
-            lens.ctypes.data_as(i32p), grouped.ctypes.data_as(u8p),
-            first_off.ctypes.data_as(i32p), out.ctypes.data_as(u8p),
+            lens.ctypes.data_as(i32p), grouped2.ctypes.data_as(u8p),
+            first2_off.ctypes.data_as(i32p), code1.ctypes.data_as(i16p),
+            out.ctypes.data_as(u8p),
         )
         return out[:m].tobytes()
     by_len = _match_tables(table)
@@ -260,7 +275,7 @@ def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, _, _, _, _ = table.native_arrays()
+        flat, offs, lens, _, _, _, _, _ = table.native_arrays()
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         total = lib.upes_fsst_decoded_size(codes.ctypes.data_as(u8p), n, lens.ctypes.data_as(i32p))
