@@ -236,16 +236,26 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b "
             "ON a.band = b.band AND a.key = b.key AND a.id < b.id ORDER BY id_a, id_b"
         ),
+        # prefix filtering, rare-tokens-first: a pair with J >= 0.5 must
+        # share a token among the first |A|-ceil(0.5|A|)+1 in ascending
+        # document-frequency order
         "dedup_ngram_jaccard": (
-            f"WITH g0 AS (SELECT doc_id AS id, source AS g_source, lang AS g_lang, {_NGRAMS} AS ng FROM documents), "
-            "g AS (SELECT *, len(ng) AS nn FROM g0) "
-            "SELECT a.id AS id_a, b.id AS id_b, round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
-            "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) AS jaccard "
-            "FROM g a JOIN g b ON a.g_source = b.g_source AND a.g_lang = b.g_lang AND a.id < b.id "
-            "AND least(a.nn, b.nn) >= 0.05 * greatest(a.nn, b.nn) "
-            "WHERE a.nn + b.nn - len(list_intersect(a.ng, b.ng)) > 0 "
-            "AND round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) "
-            "/ (a.nn + b.nn - len(list_intersect(a.ng, b.ng))), 4) >= 0.05 "
+            f"WITH g0 AS (SELECT doc_id AS id, {_NGRAMS} AS ng FROM documents), "
+            "g AS (SELECT id, ng, len(ng) AS nn FROM g0 WHERE len(ng) > 0), "
+            "ex0 AS (SELECT id, nn, unnest(ng) AS tok FROM g), "
+            "freq AS (SELECT tok, count(*) AS df_tok FROM ex0 GROUP BY tok), "
+            "pref AS (SELECT id, tok FROM ("
+            "SELECT ex0.id, ex0.tok, row_number() OVER (PARTITION BY ex0.id "
+            "ORDER BY freq.df_tok ASC, ex0.tok ASC) AS rn, "
+            "CAST(ex0.nn - ceil(0.5 * ex0.nn) + 1 AS BIGINT) AS p "
+            "FROM ex0 JOIN freq ON ex0.tok = freq.tok) WHERE rn <= p), "
+            "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM pref a "
+            "JOIN pref b ON a.tok = b.tok AND a.id < b.id), "
+            "v AS (SELECT id_a, id_b, ga.nn AS na, gb.nn AS nb, "
+            "len(list_intersect(ga.ng, gb.ng)) AS i FROM cand "
+            "JOIN g ga ON ga.id = cand.id_a JOIN g gb ON gb.id = cand.id_b) "
+            "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard "
+            "FROM v WHERE na + nb - i > 0 AND CAST(i AS DOUBLE) / (na + nb - i) >= 0.5 "
             "ORDER BY id_a, id_b"
         ),
         # SRP-LSH blocking: hyperplanes = the first 6 vectors; bucket =

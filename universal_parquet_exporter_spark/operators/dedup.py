@@ -248,10 +248,86 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    SSJoin/PPJoin family): sort each document's n-gram set by a global
+    deterministic order (md5 of the n-gram), keep only the first
+    ``|A| - ceil(t*|A|) + 1`` elements as its prefix, and equi-join on
+    prefix tokens — any pair with J >= t MUST share a prefix token, so
+    candidates shrink from all-pairs to pairs sharing a rare token, and
+    the exact intersection runs only on those.  This replaces the
+    quadratic blocked join: at web scale the prefix join shuffles on
+    token, never materializing n^2 pairs."""
+    from pyspark.sql import Window
+
+    # a small-file source arrives as ONE partition; fan out before the
+    # n-gram expression so tokenization and verification parallelize
+    par = df.sparkSession.sparkContext.defaultParallelism
+    g = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("id"), ngram_set(F.col(text_col), n).alias("ng"))
+        .withColumn("nn", F.size("ng"))
+        .filter(F.col("nn") > 0)
+        # three consumers (prefix explode + both verify sides): checkpoint
+        # so the n-gram expression — the expensive part — runs once
+        .localCheckpoint(eager=False)
+    )
+    # global order = ASCENDING document frequency (rare tokens first, the
+    # canonical SSJoin ordering): prefixes then hold rare n-grams, so the
+    # token equi-join buckets stay tiny.  A random/lexicographic order
+    # puts frequent n-grams in prefixes and re-explodes quadratically.
+    ex0 = g.select("id", "nn", F.explode("ng").alias("tok"))
+    freq = ex0.groupBy("tok").agg(F.count("*").alias("df_tok"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_tok"), F.asc("tok"))
+    p = (F.col("nn") - F.ceil(F.lit(threshold) * F.col("nn")) + 1).cast("int")
+    ex = (
+        ex0.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= p)
+        .select("id", "tok")
+    )
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), F.col("nn").alias("na"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), F.col("nn").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("ng_a"), F.col("ng_b")))
+    union = F.col("na") + F.col("nb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("i", inter)
+        .filter((F.col("na") + F.col("nb") - F.col("i")) > 0)
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= F.lit(threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs blocked by (source, lang)."""
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.5) via prefix
+    filtering — sub-quadratic candidate generation, exact verification."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, group_cols=["source", "lang"]).orderBy("id_a", "id_b")
+    return jaccard_pairs_prefix(docs).orderBy("id_a", "id_b")
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
