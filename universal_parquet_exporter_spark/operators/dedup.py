@@ -109,7 +109,14 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
-    sig = df.select(F.col(id_col).alias("id"), minhash_signature(F.col(text_col)).alias("sig"))
+    # fan a small single-file source out before the signature expression,
+    # and checkpoint: both sides of the band self-join reuse it
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col).alias("id"), minhash_signature(F.col(text_col)).alias("sig"))
+        .localCheckpoint(eager=False)
+    )
     bands = sig.select(
         "id",
         F.explode(
