@@ -13,5 +13,20 @@ Layers:
 
 from .chunk import decode_array, encode_array
 from .container import deserialize_chunk, serialize_chunk
+from .pipeline import (
+    EncodeJobConfig,
+    decode_dataset,
+    encode_job,
+    encode_parquet_job,
+)
 
-__all__ = ["encode_array", "decode_array", "serialize_chunk", "deserialize_chunk"]
+__all__ = [
+    "encode_array",
+    "decode_array",
+    "serialize_chunk",
+    "deserialize_chunk",
+    "EncodeJobConfig",
+    "encode_job",
+    "encode_parquet_job",
+    "decode_dataset",
+]
