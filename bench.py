@@ -165,7 +165,15 @@ def main() -> None:
         os.sync()
         levels = [CPUS] if skip_scaling else [n_small, CPUS]
         runs: dict[int, dict] = {}
+        all_cpus = set(range(os.cpu_count() or CPUS))
         for cores in levels:
+            # pin the whole leg (JVM + Python workers inherit) to exactly
+            # `cores` CPUs: an N-core cluster node has N cores for
+            # EVERYTHING, so the small leg must not borrow idle host cores
+            try:
+                os.sched_setaffinity(0, set(range(cores)))
+            except (AttributeError, OSError):
+                pass
             s = build_session(app_name=f"upes-scale-{cores}", cpus=cores, jvm_headroom=True)
             s.sparkContext.setLogLevel("ERROR")
             warm_workers(s, cores)
@@ -188,6 +196,10 @@ def main() -> None:
             best["gbps_reps"] = [m["gbps"] for m in reps]
             runs[cores] = best
             s.stop()
+            try:
+                os.sched_setaffinity(0, all_cpus)
+            except (AttributeError, OSError):
+                pass
 
         enc = dict(runs[CPUS])
         enc["control_bytes"] = control_bytes
