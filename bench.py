@@ -189,9 +189,13 @@ def main() -> None:
             best = max(reps, key=lambda m: m["gbps"])
             best["host_capacity"] = round(caps[reps.index(best)], 1)
             if cores == CPUS:
-                # decode spot-check on the best run's output (same session)
+                # decode spot-check + decode throughput on the best run's
+                # output (same session; count() forces full deserialization)
+                d0 = time.perf_counter()
                 dec_rows = decode_dataset(s, best["output_dir"]).count()
+                dec_wall = time.perf_counter() - d0
                 best["decode_rows_ok"] = bool(dec_rows == n_rows)
+                best["decode_gbps"] = round(best["bytes_in"] / dec_wall / 1e9, 4)
             best.pop("output_dir", None)
             best["gbps_reps"] = [m["gbps"] for m in reps]
             runs[cores] = best
