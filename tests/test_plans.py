@@ -45,9 +45,14 @@ def test_semi_join_is_semi(spark):
     assert "LeftSemi" in optimized_of(df)
 
 
-def test_brute_force_topk_broadcasts_queries(spark):
+def test_brute_force_topk_is_joinless_map(spark):
+    """The query matrix ships inside the map function: the corpus scan is a
+    single narrow MapInArrow pass — no join, no corpus-wide shuffle before
+    the (tiny) local-top-k aggregation."""
     df = similarity.q_embed_topk(spark, SF_SMOKE)
-    assert "BroadcastNestedLoopJoin" in plan_of(df) or "BroadcastHashJoin" in plan_of(df)
+    plan = plan_of(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "Join" not in plan
 
 
 def test_no_python_udfs_in_relational_plans(spark):
