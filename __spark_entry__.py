@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip as _q_encode_roundtrip,
 )
+from universal_parquet_exporter_spark.encode.pipeline import (
+    q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
+)
 from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
 
 
@@ -79,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": multimodal.q_media_frames,
         # --- the encode engine itself, oracle-checked end-to-end ---
         "encode_roundtrip": _q_encode_roundtrip,
+        "encode_roundtrip_embeddings": _q_encode_roundtrip_embeddings,
     }
 
 
@@ -402,6 +406,12 @@ def oracle_sql() -> dict[str, str]:
         # the engine round trip must reproduce the source table exactly
         "encode_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # nested array<float> columns through the same engine, bit-identical
+        # (exploded to scalars: nested arrays don't hash portably)
+        "encode_roundtrip_embeddings": (
+            "SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+            "unnest(embedding) AS val FROM embeddings"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "

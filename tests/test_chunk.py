@@ -118,3 +118,42 @@ def test_container_roundtrip_and_determinism():
         assert out.equals(src), name
     assert report["bytes_out"] < report["bytes_in"]
     assert {c["name"] for c in report["columns"]} == set(tbl.schema.names)
+
+
+LIST_CASES = {
+    "list_f32": pa.array([[1.5, 2.5], [3.5, 4.5], [0.0]], type=pa.list_(pa.float32())),
+    "list_nulls": pa.array([[1.5], None, [], [2.5, 3.5]], type=pa.list_(pa.float32())),
+    "list_elem_nulls": pa.array([[1.5, None], [None], None], type=pa.list_(pa.float32())),
+    "large_list": pa.array([[1, 2], [3]], type=pa.large_list(pa.int64())),
+    "fixed_list": pa.array([[1.0, 2.0], [3.0, 4.0], None], type=pa.list_(pa.float64(), 2)),
+    "list_str": pa.array([["a", "bb"], None, ["ccc", ""]], type=pa.list_(pa.string())),
+    "list_ts": pa.array([[1, 2], [3]], type=pa.list_(pa.timestamp("us"))),
+    "list_empty": pa.array([], type=pa.list_(pa.float32())),
+}
+
+
+@pytest.mark.parametrize("name", sorted(LIST_CASES))
+def test_list_roundtrip(name):
+    """Nested list columns (array<float> embeddings and friends) must
+    round-trip bit-identically, preserving the exact Arrow type."""
+    src = LIST_CASES[name]
+    out, meta = roundtrip(src)
+    assert out.type.equals(src.type), (out.type, src.type)
+    assert out.equals(src)
+
+
+def test_list_sliced_roundtrip():
+    src = pa.array([[9.0], [1.5, 2.5], None, [3.5]], type=pa.list_(pa.float32())).slice(1, 3)
+    out, _ = roundtrip(src)
+    assert out.equals(pa.array([[1.5, 2.5], None, [3.5]], type=pa.list_(pa.float32())))
+
+
+def test_embeddings_like_compresses_lengths():
+    """Constant-length float vectors: the length stream must collapse
+    (RLE/dict), leaving ~only the raw float payload."""
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    src = pa.array(list(vecs), type=pa.list_(pa.float32()))
+    meta, bufs = encode_array("v", src)
+    total = sum(len(b) for b in bufs)
+    assert total <= vecs.nbytes * 1.02  # lengths amortize to ~nothing

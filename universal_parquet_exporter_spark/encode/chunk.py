@@ -31,6 +31,12 @@ def type_tag(t: pa.DataType) -> str:
         return f"ts:{t.unit}:{t.tz or ''}"
     if pa.types.is_decimal(t):
         return f"dec:{t.precision}:{t.scale}"
+    if pa.types.is_list(t):
+        return f"list<{type_tag(t.value_type)}>"
+    if pa.types.is_large_list(t):
+        return f"llist<{type_tag(t.value_type)}>"
+    if pa.types.is_fixed_size_list(t):
+        return f"flist:{t.list_size}<{type_tag(t.value_type)}>"
     simple = {
         pa.int8(): "i8",
         pa.int16(): "i16",
@@ -52,6 +58,13 @@ def type_tag(t: pa.DataType) -> str:
 
 
 def tag_type(tag: str) -> pa.DataType:
+    if tag.startswith("list<"):
+        return pa.list_(tag_type(tag[5:-1]))
+    if tag.startswith("llist<"):
+        return pa.large_list(tag_type(tag[6:-1]))
+    if tag.startswith("flist:"):
+        head, child = tag.split("<", 1)
+        return pa.list_(tag_type(child[:-1]), int(head.split(":")[1]))
     if tag.startswith("ts:"):
         _, unit, tz = tag.split(":", 2)
         return pa.timestamp(unit, tz or None)
@@ -301,12 +314,58 @@ def encode_array(
         off = arr.offset * 16
         raw = np.frombuffer(buf, dtype=np.uint8)[off : off + n * 16]
         emeta, ebufs = {"codec": "plain", "nbytes": int(raw.size)}, [raw.tobytes()]
+    elif tag.startswith(("list<", "llist<", "flist:")):
+        emeta, ebufs = _encode_list(arr, fsst_table)
     else:  # pragma: no cover
         raise TypeError(f"unhandled tag {tag}")
 
     meta["enc"] = emeta
     bufs.extend(ebufs)
     return meta, bufs
+
+
+def _encode_list(arr: pa.Array, fsst_table: FsstTable | None = None) -> tuple[dict, list[bytes]]:
+    """Nested list encoding: per-slot lengths through the int selector
+    (null slots normalized to 0 — list offsets behind nulls are
+    non-normative in Arrow) + the flattened child values through the full
+    codec selector recursively, so ``array<float>`` embeddings get the
+    float paths and ``array<string>`` gets dict/FSST.  Fixed-size lists
+    are canonicalized to variable lists first (same buffers logically);
+    the type tag restores the exact type on decode."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_fixed_size_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    lengths = pc.list_value_length(arr).cast(pa.int64())
+    if lengths.null_count:
+        lengths = lengths.fill_null(0)
+    lens_np = lengths.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    values = arr.flatten()  # excludes values behind null slots
+    lmeta, lbufs = encode_int_stream(lens_np)
+    vmeta, vbufs = encode_array("values", values, fsst_table)
+    return {"codec": "list", "lens": lmeta, "values": vmeta, "nb": [len(lbufs)]}, lbufs + vbufs
+
+
+def _decode_list(tag: str, n: int, enc: dict, body: list[bytes], mask: np.ndarray | None) -> pa.Array:
+    nlb = enc["nb"][0]
+    lengths = decode_int_stream(enc["lens"], body[:nlb]).astype(np.int64, copy=False)
+    child = decode_array(enc["values"], body[nlb:])
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    validity = None
+    null_count = 0
+    if mask is not None:
+        validity = pa.array(~mask).buffers()[1]
+        null_count = int(mask.sum())
+    if tag.startswith("llist<"):
+        out_type = pa.large_list(child.type)
+        obuf = pa.py_buffer(offsets.tobytes())
+    else:
+        out_type = pa.list_(child.type)
+        obuf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    out = pa.Array.from_buffers(out_type, n, [validity, obuf], null_count=null_count, children=[child])
+    target = tag_type(tag)
+    return out if out.type == target else out.cast(target)
 
 
 def _varlen_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -463,6 +522,8 @@ def decode_array(meta: dict, buffers: list[bytes]) -> pa.Array:
             pa_type, n, [validity, pa.py_buffer(raw.tobytes())],
             null_count=int(mask.sum()) if mask is not None else 0,
         )
+    if tag.startswith(("list<", "llist<", "flist:")):
+        return _decode_list(tag, n, enc, body, mask)
     raise TypeError(f"unhandled tag {tag}")  # pragma: no cover
 
 

@@ -518,36 +518,36 @@ def _timestamps_to_us(tbl: pa.Table) -> pa.Table:
     return tbl.cast(target) if target != tbl.schema else tbl
 
 
+def _ddl_type(t: pa.DataType) -> str:
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"array<{_ddl_type(t.value_type)}>"
+    raise TypeError(f"unsupported type {t}")
+
+
 def _arrow_to_ddl(schema: pa.Schema, columns: list[str] | None) -> str:
-    parts = []
-    for f in schema:
-        if columns and f.name not in columns:
-            continue
-        t = f.type
-        if pa.types.is_large_string(t) or pa.types.is_string(t):
-            s = "string"
-        elif pa.types.is_large_binary(t) or pa.types.is_binary(t):
-            s = "binary"
-        elif pa.types.is_timestamp(t):
-            s = "timestamp"
-        elif pa.types.is_int64(t):
-            s = "long"
-        elif pa.types.is_int32(t):
-            s = "int"
-        elif pa.types.is_float64(t):
-            s = "double"
-        elif pa.types.is_float32(t):
-            s = "float"
-        elif pa.types.is_boolean(t):
-            s = "boolean"
-        elif pa.types.is_date32(t):
-            s = "date"
-        elif pa.types.is_decimal(t):
-            s = f"decimal({t.precision},{t.scale})"
-        else:
-            raise TypeError(f"unsupported type {t}")
-        parts.append(f"{f.name} {s}")
-    return ", ".join(parts)
+    return ", ".join(
+        f"{f.name} {_ddl_type(f.type)}" for f in schema if not columns or f.name in columns
+    )
 
 
 def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
@@ -560,6 +560,8 @@ def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             col = col.cast(pa.string())
         elif pa.types.is_large_binary(f.type):
             col = col.cast(pa.binary())
+        elif pa.types.is_large_list(f.type) or pa.types.is_fixed_size_list(f.type):
+            col = col.cast(pa.list_(f.type.value_type))
         elif pa.types.is_timestamp(f.type) and (f.type.unit, f.type.tz) != ("us", "UTC"):
             # one convention regardless of fragment provenance: µs UTC.
             # Naive inputs are UTC instants (Spark internal micros), and a
@@ -592,4 +594,32 @@ def q_encode_roundtrip(spark, sf_dir: str):
     dec = decode_dataset(spark, out)
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+
+
+def q_encode_roundtrip_embeddings(spark, sf_dir: str):
+    """Driver-contract query: round-trip the ``embeddings`` table —
+    ``array<float>`` vectors plus int ids — through the REAL engine,
+    then explode each vector to (vec_id, label, pos, val) scalars so the
+    driver's value-hash compares every element positionally (nested
+    arrays don't sort/hash portably across engines).  Certifies that
+    list columns survive the codec layer bit-identically — the payload
+    an LLM-data engine stores most after text."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_rte_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="vec_id", size_cols=(), target_unit_bytes=1 << 20
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "vec_id", F.col("vec_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    dec = decode_dataset(spark, out)
+    return dec.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
     )

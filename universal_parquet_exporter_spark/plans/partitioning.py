@@ -75,6 +75,10 @@ def plan_encode(
     for c in size_cols:
         e = F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")
         size_expr = e if size_expr is None else size_expr + e
+    if size_expr is None:
+        # no variable-width proxy columns (e.g. an embeddings table):
+        # rows are near-constant-width, so row count is the size proxy
+        size_expr = F.lit(8).cast("long")
     sample = (
         df.sample(fraction=fraction, seed=seed)
         .select(F.col(key_col).alias("k"), size_expr.alias("sz"))
