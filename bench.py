@@ -31,6 +31,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ROWS_PER_SF = 6_000_000  # webpages fixture rows per unit scale factor (~10 GB arrow/SF)
 
 
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -52,7 +58,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def encode_bench(spark, input_parquet: str, workdir: str, label: str, target_unit_bytes: int = 64 << 20) -> dict:
+def encode_bench(
+    spark,
+    input_parquet: str,
+    workdir: str,
+    label: str,
+    target_unit_bytes: int = 64 << 20,
+    map_tasks: int | None = None,
+) -> dict:
     from universal_parquet_exporter_spark.encode.pipeline import (
         EncodeJobConfig,
         decode_dataset,
@@ -60,7 +73,7 @@ def encode_bench(spark, input_parquet: str, workdir: str, label: str, target_uni
     )
 
     out = os.path.join(workdir, f"enc_{label}")
-    cfg = EncodeJobConfig(output_dir=out, target_unit_bytes=target_unit_bytes)
+    cfg = EncodeJobConfig(output_dir=out, target_unit_bytes=target_unit_bytes, map_tasks=map_tasks)
     t0 = time.perf_counter()
     metrics = encode_parquet_job(spark, input_parquet, cfg)
     wall = time.perf_counter() - t0
@@ -82,11 +95,12 @@ def encode_bench(spark, input_parquet: str, workdir: str, label: str, target_uni
 
 def host_capacity(procs: int) -> float:
     """Total pure-CPU work rate available to `procs` concurrent processes
-    RIGHT NOW (multiprocessing burn, zero framework).  This sandbox's
-    host is shared and its deliverable capacity swings ~2x on sub-minute
-    timescales, so each scaling leg measures the capacity it actually ran
-    under; on a real cluster 4N executors bring 4x the hardware and this
-    control is a constant."""
+    (multiprocessing burn, zero framework), measured IMMEDIATELY BEFORE
+    each timed rep under the same core pinning.  This sandbox's host is
+    shared and its deliverable capacity swings ~2x on sub-minute
+    timescales, so each rep records the capacity the host was offering
+    right then; on a real cluster 4N executors bring 4x the hardware and
+    this control is a constant."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as p:
@@ -103,6 +117,101 @@ def _burn(sec: float) -> int:
             x = (x * 1103515245 + 12345) & 0x7FFFFFFF
         n += 1
     return n
+
+
+def _run_scale_leg_subprocess(
+    cores: int,
+    input_parquet: str,
+    warm_parquet: str,
+    workdir: str,
+    n_map: int,
+    label: str,
+    with_decode: bool,
+) -> dict:
+    """Run one scaling rep in a fresh pinned subprocess and parse its
+    LEGJSON result line."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--scale-leg",
+        str(cores), input_parquet, warm_parquet, workdir, str(n_map), label,
+    ]
+    if with_decode:
+        cmd.append("--decode")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEGJSON "):
+            return json.loads(line[len("LEGJSON "):])
+    raise RuntimeError(
+        f"scale leg {label} produced no result (rc={proc.returncode}): "
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+def scale_leg_main(argv: list[str]) -> None:
+    """Subprocess entry: pin affinity FIRST (the JVM and every worker it
+    spawns inherit it), then warm-up encode, capacity probe, one timed
+    encode, optional decode check."""
+    cores = int(argv[0])
+    input_parquet, warm_parquet, workdir = argv[1], argv[2], argv[3]
+    n_map = int(argv[4])
+    label = argv[5]
+    with_decode = "--decode" in argv[6:]
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+    # no-framework control FIRST, in the same pinned window but with no
+    # JVM or resident Spark workers yet: the identical per-task work via
+    # plain multiprocessing (BENCH/mp_control.py).  spark_speedup /
+    # control_speedup isolates the framework's own scaling loss from
+    # what this shared host can physically deliver.  (Running it beside
+    # a warmed executor measurably halves it at 32 procs — resident
+    # worker pages + JVM inflate every spawned child's fault bill on
+    # this fault-expensive kernel.)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+    import mp_control
+
+    os.sync()
+    ctl = mp_control.run_control(input_parquet, cores, n_map)
+
+    spark = build_session(app_name=f"upes-scale-{label}", cpus=cores, jvm_headroom=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, cores)
+    warm = encode_bench(spark, warm_parquet, workdir, f"warm_{label}", map_tasks=min(n_map, 8))
+    shutil.rmtree(warm["output_dir"], ignore_errors=True)
+    # two timed runs per (already-paid-for) JVM: the shared host's noise
+    # amplitude is several x, so the best-of estimator needs samples more
+    # than it needs fresh processes; sync between runs drains writeback
+    best = None
+    samples = []
+    caps = []
+    for i in range(2):
+        os.sync()
+        cap = host_capacity(cores)
+        m = encode_bench(spark, input_parquet, workdir, f"{label}_{i}", map_tasks=n_map)
+        m["host_capacity"] = round(cap, 1)
+        samples.append(m["gbps"])
+        caps.append(m["host_capacity"])
+        if best is None or m["gbps"] > best["gbps"]:
+            if best is not None:
+                shutil.rmtree(best["output_dir"], ignore_errors=True)
+            best = m
+        else:
+            shutil.rmtree(m["output_dir"], ignore_errors=True)
+    best["gbps_samples"] = samples
+    best["capacity_samples"] = caps
+    best["mp_control_gbps"] = ctl["gbps"]
+    if with_decode:
+        from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
+
+        d0 = time.perf_counter()
+        best["decode_rows"] = decode_dataset(spark, best["output_dir"]).count()
+        dec_wall = time.perf_counter() - d0
+        best["decode_gbps"] = round(best["bytes_in"] / dec_wall / 1e9, 4)
+    shutil.rmtree(best.pop("output_dir"), ignore_errors=True)
+    spark.stop()
+    print("LEGJSON " + json.dumps(best))
 
 
 def main() -> None:
@@ -124,17 +233,38 @@ def main() -> None:
         queries = run_queries(spark, SF_DIR)
 
         # 2. materialize the deterministic webpages fixture once (generation
-        # excluded from encode timing).  File size targets ~9k rows
-        # (~15 MB) — measured sweet spot: big enough that per-task
-        # fragments stay in the >100 MB/s encode regime, small enough for
-        # balanced waves at every parallelism level in the scaling pair
+        # excluded from encode timing).  Task layout for the scaling pair:
+        # the SAME map-task count at both parallelism levels, chosen as a
+        # common multiple of both legs' task-slot counts, with the file
+        # count an exact multiple of it — so every leg runs IDENTICAL
+        # per-task work in full, even waves and only concurrency differs
+        # (how a real N-vs-4N cluster scales).  Chunked serialization
+        # (EncodeJobConfig.chunk_rows) keeps fragment size independent of
+        # this split.
         from universal_parquet_exporter_spark.fixtures import generate_webpages
 
+        n_small = max(CPUS // 4, 1)
+        # mirrors build_session jvm_headroom (proportional 1/8 reserve)
+        slots = lambda c: c - max(1, c // 8) if c >= 8 else c
+        n_map = _lcm(slots(n_small), slots(CPUS))
+        while n_map < 2 * slots(CPUS):
+            n_map *= 2
+        # 2x the query-suite scale for the timed encode: per-job fixed
+        # costs (submit, commit) are ~0.3 s regardless of size and would
+        # tax the big leg ~3x harder relative to its shorter wall
+        scale_rows = 2 * n_rows
+        files_per_task = max(1, round(scale_rows / n_map / 5500))
+        n_files = n_map * files_per_task
         input_parquet = os.path.join(workdir, "webpages_in")
-        n_files = max(8, n_rows // 9000)
-        generate_webpages(spark, n_rows, partitions=n_files).write.mode("overwrite").parquet(
+        generate_webpages(spark, scale_rows, partitions=n_files).write.mode("overwrite").parquet(
             input_parquet
         )
+        # small warm fixture: each leg subprocess warms its fresh JVM /
+        # workers / codegen on this before its timed rep
+        warm_parquet = os.path.join(workdir, "webpages_warm")
+        generate_webpages(spark, max(scale_rows // 16, 5000), partitions=8).write.mode(
+            "overwrite"
+        ).parquet(warm_parquet)
 
         # control: reference encode path = parquet/snappy (A8,
         # /root/reference/src/export/parquet_writer.py:17)
@@ -151,59 +281,46 @@ def main() -> None:
         spark.stop()
 
         # 3. encode + scaling: same job, same input, at 4N (=CPUS, also
-        # the headline encode figure) and N cores, each in a fresh
-        # jvm_headroom session.  Best-of-3 per level: this sandbox's host
-        # is shared and single runs vary ~2x, so the steady-state (best)
-        # run is the honest throughput figure.
-        from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
-
-        n_small = max(CPUS // 4, 1)
+        # the headline encode figure) and N cores.  Every rep runs in a
+        # FRESH SUBPROCESS whose CPU affinity is set BEFORE the JVM
+        # spawns, so driver JVM, executor threads and Python workers all
+        # inherit exactly the leg's cores (an in-process leg cannot pin
+        # the already-running JVM, and its Python workers silently escape
+        # to every host core — measured).  N and 4N reps are INTERLEAVED
+        # because this shared host's deliverable capacity swings >2x on
+        # minute timescales: alternating legs exposes both to the same
+        # windows, then best-of-3 per leg is the steady-state figure.
         skip_scaling = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"))
-        # small leg first: the fixture+control writes above leave ~GBs of
-        # dirty pages, and background writeback competes with a
-        # fully-loaded 4N run (measured); sync + the N leg lets it drain
-        os.sync()
+        os.sync()  # drain fixture/control writeback before any timed leg
+        n_reps = 1 if skip_scaling else 3
         levels = [CPUS] if skip_scaling else [n_small, CPUS]
+        rep_results: dict[int, list] = {c: [] for c in levels}
+        for r in range(n_reps):
+            # alternate leg order per rep: capacity probes show pure-CPU
+            # delivery is stable while throughput decays across reps
+            # (page-cache/writeback accumulation), so neither leg may own
+            # the freshest window; sync between reps drains write state
+            # outside the timed sections
+            order = levels if r % 2 == 0 else list(reversed(levels))
+            for cores in order:
+                rep = _run_scale_leg_subprocess(
+                    cores, input_parquet, warm_parquet, workdir, n_map, f"r{r}c{cores}",
+                    with_decode=(cores == CPUS),
+                )
+                rep_results[cores].append(rep)
+                os.sync()
         runs: dict[int, dict] = {}
-        all_cpus = set(range(os.cpu_count() or CPUS))
         for cores in levels:
-            # pin the whole leg (JVM + Python workers inherit) to exactly
-            # `cores` CPUs: an N-core cluster node has N cores for
-            # EVERYTHING, so the small leg must not borrow idle host cores
-            try:
-                os.sched_setaffinity(0, set(range(cores)))
-            except (AttributeError, OSError):
-                pass
-            s = build_session(app_name=f"upes-scale-{cores}", cpus=cores, jvm_headroom=True)
-            s.sparkContext.setLogLevel("ERROR")
-            warm_workers(s, cores)
-            # steady-state: one untimed warmup run, then best-of-3, with
-            # the host capacity concurrent to this leg measured alongside
-            encode_bench(s, input_parquet, workdir, f"scalewarm{cores}")
-            n_reps = 1 if skip_scaling else 3
-            reps = []
-            caps = []
-            for r in range(n_reps):
-                caps.append(host_capacity(cores))
-                reps.append(encode_bench(s, input_parquet, workdir, f"scale{cores}_{r}"))
-            best = max(reps, key=lambda m: m["gbps"])
-            best["host_capacity"] = round(caps[reps.index(best)], 1)
+            reps = rep_results[cores]
+            best = dict(max(reps, key=lambda m: m["gbps"]))
+            best["gbps_reps"] = [g for m in reps for g in m["gbps_samples"]]
+            best["capacity_reps"] = [c for m in reps for c in m["capacity_samples"]]
+            best["mp_control_reps"] = [m["mp_control_gbps"] for m in reps]
+            best["mp_control_gbps"] = max(best["mp_control_reps"])
             if cores == CPUS:
-                # decode spot-check + decode throughput on the best run's
-                # output (same session; count() forces full deserialization)
-                d0 = time.perf_counter()
-                dec_rows = decode_dataset(s, best["output_dir"]).count()
-                dec_wall = time.perf_counter() - d0
-                best["decode_rows_ok"] = bool(dec_rows == n_rows)
-                best["decode_gbps"] = round(best["bytes_in"] / dec_wall / 1e9, 4)
-            best.pop("output_dir", None)
-            best["gbps_reps"] = [m["gbps"] for m in reps]
+                best["decode_rows_ok"] = bool(best.get("decode_rows") == scale_rows)
+                best.pop("decode_rows", None)
             runs[cores] = best
-            s.stop()
-            try:
-                os.sched_setaffinity(0, all_cpus)
-            except (AttributeError, OSError):
-                pass
 
         enc = dict(runs[CPUS])
         enc["control_bytes"] = control_bytes
@@ -220,6 +337,8 @@ def main() -> None:
                 "gbps_4n": t_4n,
                 "gbps_n_reps": runs[n_small]["gbps_reps"],
                 "gbps_4n_reps": runs[CPUS]["gbps_reps"],
+                "capacity_n_reps": runs[n_small]["capacity_reps"],
+                "capacity_4n_reps": runs[CPUS]["capacity_reps"],
                 "efficiency": round((t_4n / t_n) / (CPUS / n_small), 4) if t_n else None,
                 # single-host caveat: N and 4N workers share one memory
                 # subsystem and a hypervisor whose deliverable capacity
@@ -229,6 +348,33 @@ def main() -> None:
                 # speedup by the capacity the host really offered.
                 "capacity_n": runs[n_small]["host_capacity"],
                 "capacity_4n": runs[CPUS]["host_capacity"],
+                # the identical work with NO framework (multiprocessing,
+                # BENCH/mp_control.py) run inside each pinned leg window:
+                # its own N->4N efficiency is the host's practical ceiling
+                # for this memory-bound workload; efficiency_vs_control =
+                # what fraction of that ceiling the Spark job preserves
+                "mp_control_gbps_n": runs[n_small]["mp_control_gbps"],
+                "mp_control_gbps_4n": runs[CPUS]["mp_control_gbps"],
+                "mp_control_reps_n": runs[n_small]["mp_control_reps"],
+                "mp_control_reps_4n": runs[CPUS]["mp_control_reps"],
+                "efficiency_mp_control": (
+                    round(
+                        (runs[CPUS]["mp_control_gbps"] / runs[n_small]["mp_control_gbps"])
+                        / (CPUS / n_small),
+                        4,
+                    )
+                    if runs[n_small]["mp_control_gbps"]
+                    else None
+                ),
+                "efficiency_vs_control": (
+                    round(
+                        (t_4n / t_n)
+                        / (runs[CPUS]["mp_control_gbps"] / runs[n_small]["mp_control_gbps"]),
+                        4,
+                    )
+                    if t_n and runs[n_small]["mp_control_gbps"]
+                    else None
+                ),
                 "efficiency_vs_capacity": (
                     round(
                         (t_4n / t_n) / (runs[CPUS]["host_capacity"] / runs[n_small]["host_capacity"]),
@@ -250,4 +396,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-leg":
+        scale_leg_main(sys.argv[2:])
+    else:
+        main()

@@ -10,14 +10,23 @@ rows enabling checkpointed resume (north rule).
 
 Scale notes (100 TB / 1000-executor thinking):
 - the job is fully NARROW and Iceberg-writer-shaped: each map task
-  bucket-sorts its input rows by (unit, key), encodes one *fragment* per
-  touched unit, appends the encoded Arrow buffers to its own payload file
-  in storage, and emits only tiny MANIFEST rows to Spark.  Encoded bytes
-  never cross the JVM<->Python boundary and are never shuffled — measured
-  on this sandbox's fault-expensive kernel, JVM-side handling of payload
-  bytes is precisely what destroys multi-core scaling, and at nominal
-  scale a consolidate-per-unit exchange is pure network cost on
+  bucket-sorts its input rows by (unit, key), serializes runs of
+  consecutive unit-slices into CHUNKS of ~``chunk_rows`` rows (the codec
+  granularity — throughput and ratio degrade sharply on tiny chunks, so
+  chunk size must not depend on how many units a task touches or on the
+  cluster's parallelism), appends the chunks to its own payload file in
+  storage, and emits only tiny MANIFEST rows to Spark — one per
+  unit-slice, carrying the chunk location plus the slice's row range,
+  exactly how one parquet row group serves several partitions.  Encoded
+  bytes never cross the JVM<->Python boundary and are never shuffled —
+  measured on this sandbox's fault-expensive kernel, JVM-side handling
+  of payload bytes is precisely what destroys multi-core scaling, and at
+  nominal scale a consolidate-per-unit exchange is pure network cost on
   already-compressed bytes;
+- payload I/O resolves through ``pyarrow.fs`` for ``hdfs://``/``s3://``
+  output dirs (same storage as the Spark-written manifests); plain paths
+  use POSIX I/O and require a driver+executor shared mount, and payload
+  files are fsync'd before their manifest rows are emitted;
 - unit atomicity without a shuffle: the manifest parquet commit is
   job-atomic (FileOutputCommitter), lineage rows are derived from the
   committed manifest and appended after, and decode semi-joins fragments
@@ -45,24 +54,45 @@ import pyarrow as pa
 from ..plans.partitioning import EncodePlan, assign_units_arrow, plan_encode
 from .container import deserialize_chunk, serialize_chunk
 
-# manifest row layout: one row per fragment (a map task's slice of one
-# encode unit); the encoded bytes themselves live in the task's payload
-# file at [offset, offset+length) — Iceberg-style: tasks write data files
-# straight to storage, Spark commits only the manifest
+# manifest row layout: one row per unit-slice — a contiguous row range
+# [row_off, row_off+n_rows) of ONE encode unit inside a serialized chunk.
+# A chunk (payload bytes at [offset, offset+length) of a task's payload
+# file) may hold several consecutive unit-slices, exactly like a parquet
+# row group holding several partitions: the encode granularity (chunk,
+# sized for codec throughput) is decoupled from the bookkeeping
+# granularity (unit, sized for resume/lineage), so fragment size no
+# longer shrinks with task parallelism.  Iceberg-style: tasks write data
+# files straight to storage, Spark commits only the manifest.
 FRAG_SCHEMA = (
-    "unit long, first_key string, n_rows long, bytes_in long, bytes_out long, "
-    "wall_ms double, codecs string, file string, offset long, length long"
+    "unit long, first_key string, n_rows long, row_off long, bytes_in long, "
+    "bytes_out long, wall_ms double, codecs string, file string, offset long, length long"
 )
+
+
+def _payload_fs(path: str):
+    """(filesystem, path) for payload I/O.  ``hdfs://``/``s3://``-style
+    URIs route through pyarrow.fs so payload bytes land in the same
+    storage as the Spark-written manifests; plain paths use POSIX I/O and
+    REQUIRE a filesystem shared by driver and executors at the same
+    mount point (the usual Iceberg warehouse assumption)."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        f, p = pafs.FileSystem.from_uri(path)
+        return f, p
+    return None, path
 
 
 class _TaskPayloadWriter:
     """Append-only payload file for one task attempt.  The file name is
     unique per attempt, so retried/speculative attempts never collide;
     files whose rows never reach the committed manifest are dead data
-    (GC-able), exactly like uncommitted Iceberg data files."""
+    (GC-able), exactly like uncommitted Iceberg data files.  ``close``
+    fsyncs (POSIX path) BEFORE the task emits its manifest rows, so a
+    committed manifest never points at payload bytes still in page cache."""
 
     def __init__(self, payload_dir: str):
-        self._dir = payload_dir
+        self._fs, self._dir = _payload_fs(payload_dir)
         self._fh = None
         self.name = ""
         self.offset = 0
@@ -73,9 +103,14 @@ class _TaskPayloadWriter:
 
             ctx = TaskContext.get()
             attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
-            os.makedirs(self._dir, exist_ok=True)
             self.name = f"frag-{attempt}-{uuid.uuid4().hex[:8]}.bin"
-            self._fh = open(os.path.join(self._dir, self.name), "wb")
+            full = os.path.join(self._dir, self.name) if self._fs is None else f"{self._dir}/{self.name}"
+            if self._fs is None:
+                os.makedirs(self._dir, exist_ok=True)
+                self._fh = open(full, "wb")
+            else:
+                self._fs.create_dir(self._dir, recursive=True)
+                self._fh = self._fs.open_output_stream(full)
         off = self.offset
         self._fh.write(payload)
         self.offset += len(payload)
@@ -83,7 +118,19 @@ class _TaskPayloadWriter:
 
     def close(self) -> None:
         if self._fh is not None:
+            if self._fs is None:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
             self._fh.close()
+
+
+def _open_payload(payload_dir: str, fname: str):
+    """Seekable read handle for a payload file via the same fs resolution
+    as the writer."""
+    f, d = _payload_fs(payload_dir)
+    if f is None:
+        return open(os.path.join(d, fname), "rb")
+    return f.open_input_file(f"{d}/{fname}")
 
 
 @dataclass
@@ -94,10 +141,45 @@ class EncodeJobConfig:
     target_unit_bytes: int = 64 << 20
     sample_rows: int = 100_000
     run_id: str = ""
+    # serialize-flush threshold: a task groups consecutive unit-slices
+    # into one chunk until it holds this many rows.  Codec throughput and
+    # ratio degrade sharply on tiny chunks (measured ~5x between 600-row
+    # and 10k-row chunks), so chunk size must NOT depend on how many
+    # units a task happens to touch.
+    chunk_rows: int = 32768
+    # explicit map-task count for the parquet path (None = ~4 waves of
+    # defaultParallelism).  Benchmarks pin this so every parallelism
+    # level runs IDENTICAL per-task work — the way a real cluster scales.
+    map_tasks: int | None = None
 
     def __post_init__(self):
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
+
+    @classmethod
+    def from_environment(cls) -> "EncodeJobConfig":
+        """Build a config from ``UPES_ENCODE_*`` environment variables —
+        the deployment-convenience path the reference provides for its DB
+        config (``/root/reference/config/sqlserver_config.py:53-106``),
+        including the same required-variable error contract."""
+        env = os.environ
+        missing = [v for v in ("UPES_ENCODE_OUTPUT_DIR",) if not env.get(v)]
+        if missing:
+            raise ValueError(
+                "Missing required environment variables: " + ", ".join(missing)
+            )
+        size_cols = env.get("UPES_ENCODE_SIZE_COLS", "text,html")
+        map_tasks = env.get("UPES_ENCODE_MAP_TASKS")
+        return cls(
+            output_dir=env["UPES_ENCODE_OUTPUT_DIR"],
+            key_col=env.get("UPES_ENCODE_KEY_COL", "url"),
+            size_cols=tuple(c for c in size_cols.split(",") if c),
+            target_unit_bytes=int(env.get("UPES_ENCODE_TARGET_UNIT_BYTES", 64 << 20)),
+            sample_rows=int(env.get("UPES_ENCODE_SAMPLE_ROWS", 100_000)),
+            run_id=env.get("UPES_ENCODE_RUN_ID", ""),
+            chunk_rows=int(env.get("UPES_ENCODE_CHUNK_ROWS", 32768)),
+            map_tasks=int(map_tasks) if map_tasks else None,
+        )
 
 
 def _plan_path(output_dir: str) -> str:
@@ -215,12 +297,18 @@ def completed_units(spark, output_dir: str) -> set[int]:
 
 
 def _encode_stream(
-    iterator, plan_local: EncodePlan, done_local: np.ndarray, key_col: str, payload_dir: str
+    iterator,
+    plan_local: EncodePlan,
+    done_local: np.ndarray,
+    key_col: str,
+    payload_dir: str,
+    chunk_rows: int = 32768,
 ):
     """Core map-side combine: consume Arrow record batches, bucket rows
-    into encode units, write one encoded fragment per buffered unit to the
-    task's payload file, and emit manifest rows.  Shared by the DataFrame
-    input path and the direct-parquet input path."""
+    into encode units, serialize runs of consecutive unit-slices as
+    chunks of ~``chunk_rows`` rows into the task's payload file, and emit
+    one manifest row per unit-slice (chunk location + row range).  Shared
+    by the DataFrame input path and the direct-parquet input path."""
     from ..plans.partitioning import _fixed_width
 
     buf: dict[int, list] = {}
@@ -265,30 +353,66 @@ def _encode_stream(
                     fsst_tables[field.name] = fsst_train(sample)
 
     writer = _TaskPayloadWriter(payload_dir)
+    rows: dict[str, list] = {
+        k: []
+        for k in (
+            "unit", "first_key", "n_rows", "row_off", "bytes_in", "bytes_out",
+            "wall_ms", "codecs", "file", "offset", "length",
+        )
+    }
     try:
-        rows: dict[str, list] = {
-            k: []
-            for k in (
-                "unit", "first_key", "n_rows", "bytes_in", "bytes_out",
-                "wall_ms", "codecs", "file", "offset", "length",
-            )
-        }
-        for unit in sorted(buf):
+        pending: list[tuple[int, list]] = []  # (unit, batches) in unit order
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows
+            if not pending:
+                return
             t0 = time.perf_counter()
-            tbl = pa.Table.from_batches(buf[unit])
+            tbl = pa.Table.from_batches([b for _, bs in pending for b in bs])
             payload, report = serialize_chunk(tbl, fsst_tables)
             fname, off, length = writer.write(payload)
             wall = (time.perf_counter() - t0) * 1000
-            rows["unit"].append(unit)
-            rows["first_key"].append(tbl.column(key_col)[0].as_py() if tbl.num_rows else "")
-            rows["n_rows"].append(tbl.num_rows)
-            rows["bytes_in"].append(report["bytes_in"])
-            rows["bytes_out"].append(len(payload))
-            rows["wall_ms"].append(wall)
-            rows["codecs"].append(json.dumps({c["name"]: c["codec"] for c in report["columns"]}))
-            rows["file"].append(fname)
-            rows["offset"].append(off)
-            rows["length"].append(length)
+            codecs = json.dumps({c["name"]: c["codec"] for c in report["columns"]})
+            # prorate chunk-level byte/wall totals across its unit-slices
+            # by row share; remainders land on the last slice so per-unit
+            # sums in lineage stay exact
+            row_off = 0
+            rem_in, rem_out, rem_wall = report["bytes_in"], length, wall
+            for i, (unit, bs) in enumerate(pending):
+                n_u = sum(b.num_rows for b in bs)
+                if i == len(pending) - 1:
+                    b_in, b_out, w_u = rem_in, rem_out, rem_wall
+                else:
+                    frac = n_u / tbl.num_rows
+                    b_in = int(report["bytes_in"] * frac)
+                    b_out = int(length * frac)
+                    w_u = wall * frac
+                    rem_in -= b_in
+                    rem_out -= b_out
+                    rem_wall -= w_u
+                rows["unit"].append(unit)
+                rows["first_key"].append(bs[0].column(key_col)[0].as_py() if n_u else "")
+                rows["n_rows"].append(n_u)
+                rows["row_off"].append(row_off)
+                rows["bytes_in"].append(b_in)
+                rows["bytes_out"].append(b_out)
+                rows["wall_ms"].append(w_u)
+                rows["codecs"].append(codecs)
+                rows["file"].append(fname)
+                rows["offset"].append(off)
+                rows["length"].append(length)
+                row_off += n_u
+            pending = []
+            pending_rows = 0
+
+        for unit in sorted(buf):
+            bs = buf[unit]
+            pending.append((unit, bs))
+            pending_rows += sum(b.num_rows for b in bs)
+            if pending_rows >= chunk_rows:
+                flush()
+        flush()
     finally:
         writer.close()
     if rows["unit"]:
@@ -318,11 +442,12 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     bdone = spark.sparkContext.broadcast(sorted(done))
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
+    chunk_rows = cfg.chunk_rows
 
     def map_encode(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
-        yield from _encode_stream(iterator, plan_local, done_local, key_col, payload_dir)
+        yield from _encode_stream(iterator, plan_local, done_local, key_col, payload_dir, chunk_rows)
 
     frags = df.mapInArrow(map_encode, FRAG_SCHEMA)
     return _finish_encode(spark, frags, plan, done, cfg)
@@ -352,6 +477,7 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     bdone = spark.sparkContext.broadcast(sorted(done))
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
+    chunk_rows = cfg.chunk_rows
 
     def map_encode_files(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
@@ -367,13 +493,21 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
                     tbl = _timestamps_to_us(tbl)
                     yield from tbl.to_batches(max_chunksize=batch_rows)
 
-        yield from _encode_stream(batches(), plan_local, done_local, key_col, payload_dir)
+        yield from _encode_stream(batches(), plan_local, done_local, key_col, payload_dir, chunk_rows)
 
-    # 4 waves of map tasks: fragment count is (map tasks x touched units),
-    # and tiny fragments hurt both throughput and compression ratio, so
-    # don't split the work-list finer than the cluster can run at once
-    n_map = max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
-    work = spark.createDataFrame(items, "path string, rg int").repartition(n_map)
+    # task granularity: cfg.map_tasks if pinned (benchmarks pin it so
+    # every parallelism level runs identical per-task work), else ~4
+    # waves of the current parallelism; chunking no longer ties fragment
+    # size to this split, so the choice only balances scheduling overhead
+    # against stragglers
+    n_map = cfg.map_tasks or max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
+    n_map = min(n_map, len(items))
+    # parallelize slices the (sorted) work-list into n_map CONTIGUOUS,
+    # equal-size task slices — exact balance, and a task's row groups are
+    # adjacent in the source (round-robin repartition gives neither)
+    work = spark.createDataFrame(
+        spark.sparkContext.parallelize(items, n_map), "path string, rg int"
+    )
     frags = work.mapInArrow(map_encode_files, FRAG_SCHEMA)
     return _finish_encode(spark, frags, plan, done, cfg)
 
@@ -462,46 +596,59 @@ def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
     )
     enc = (
         spark.read.parquet(data_dir)
-        .select("unit", "run_id", "file", "offset", "length")
+        .select("unit", "run_id", "file", "offset", "length", "row_off", "n_rows")
         .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
     )
 
     sample = enc.select("file", "offset", "length").limit(1).collect()
     if not sample:
         raise ValueError("empty encoded dataset")
-    probe = deserialize_chunk(
-        _read_payload(os.path.join(payload_dir, sample[0].file), sample[0].offset, sample[0].length)
-    )
+    fh0 = _open_payload(payload_dir, sample[0].file)
+    try:
+        fh0.seek(sample[0].offset)
+        probe = deserialize_chunk(fh0.read(sample[0].length))
+    finally:
+        fh0.close()
     out_schema = _arrow_to_ddl(probe.schema, columns)
 
     def decode(iterator):
+        # several manifest rows (unit-slices) share one chunk; the input
+        # is sorted by (file, offset) within the partition, so a
+        # one-chunk cache deserializes each chunk exactly once
         handles: dict[str, object] = {}
+        cur_key = None
+        cur_tbl = None
         try:
             for batch in iterator:
-                files = batch.column("file").to_pylist()
-                offs = batch.column("offset").to_pylist()
-                lens = batch.column("length").to_pylist()
-                for fname, off, ln in zip(files, offs, lens):
-                    fh = handles.get(fname)
-                    if fh is None:
-                        fh = handles[fname] = open(os.path.join(payload_dir, fname), "rb")
-                    fh.seek(off)
-                    tbl = deserialize_chunk(fh.read(ln))
-                    if columns:
-                        tbl = tbl.select(columns)
-                    for b in tbl.to_batches():
-                        yield _normalize_batch(b)
+                cols = [batch.column(i).to_pylist() for i in range(5)]
+                for fname, off, ln, roff, nr in zip(*cols):
+                    if (fname, off) != cur_key:
+                        fh = handles.get(fname)
+                        if fh is None:
+                            fh = handles[fname] = _open_payload(payload_dir, fname)
+                        fh.seek(off)
+                        cur_tbl = deserialize_chunk(fh.read(ln))
+                        if columns:
+                            cur_tbl = cur_tbl.select(columns)
+                        cur_key = (fname, off)
+                    for b in cur_tbl.slice(roff, nr).to_batches():
+                        if b.num_rows:
+                            yield _normalize_batch(b)
         finally:
             for fh in handles.values():
                 fh.close()
 
-    return enc.select("file", "offset", "length").mapInArrow(decode, out_schema)
-
-
-def _read_payload(path: str, offset: int, length: int) -> bytes:
-    with open(path, "rb") as fh:
-        fh.seek(offset)
-        return fh.read(length)
+    # the manifest is tiny (hundreds of rows in small files), so the scan
+    # coalesces to ~1 partition; spread chunk workloads across the
+    # cluster, keeping all slices of a chunk together (hash by chunk id)
+    # so the one-chunk cache still gets a hit per slice
+    par = spark.sparkContext.defaultParallelism
+    return (
+        enc.select("file", "offset", "length", "row_off", "n_rows")
+        .repartition(par, "file", "offset")
+        .sortWithinPartitions("file", "offset", "row_off")
+        .mapInArrow(decode, out_schema)
+    )
 
 
 def _timestamps_to_us(tbl: pa.Table) -> pa.Table:

@@ -63,11 +63,19 @@ class ParquetExporter:
     results: list[ExportResult] = field(default_factory=list)
 
     def export(self, name: str, df: DataFrame) -> ExportResult:
+        """One Spark action per export: the row count rides the write via
+        ``df.observe`` instead of a separate ``count()`` (which would
+        execute the whole query twice — 2x cost per export at scale)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         path = os.path.join(self.output_dir, name)
         t0 = time.perf_counter()
         try:
-            rows = df.count()
-            df.write.mode("overwrite").option("compression", self.compression).parquet(path)
+            obs = Observation()
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            observed.write.mode("overwrite").option("compression", self.compression).parquet(path)
+            rows = int(obs.get["rows"])
             res = ExportResult(name, path, rows, round(time.perf_counter() - t0, 3), True)
         except Exception as e:  # per-query isolation (A11)
             res = ExportResult(name, path, 0, round(time.perf_counter() - t0, 3), False, str(e)[:500])

@@ -25,17 +25,20 @@ def build_session(
     """Build a local[n] session; on a real cluster the same confs apply and
     ``master`` is supplied by spark-submit (BASELINE.md launch mode).
 
-    ``jvm_headroom=True`` reserves 4 of ``cpus`` for the executor JVM's own
-    threads (GC, netty, task dispatch) when ``cpus >= 16`` — the standard
-    cluster practice of sizing ``spark.executor.cores`` below the machine
-    core count.  Measured here: with Python workers on every core, JVM
-    wakeups preempt the encode kernels and throughput DROPS at high core
-    counts; a 4-core reserve is the fastest 32-core configuration."""
+    ``jvm_headroom=True`` reserves 1/8 of ``cpus`` (min 1 at >= 8 cores)
+    for the executor JVM's own threads (GC, netty, task dispatch) — the
+    standard cluster practice of sizing ``spark.executor.cores`` below
+    the machine core count.  Measured here: with Python workers on every
+    core, JVM wakeups preempt the encode kernels and throughput DROPS at
+    high core counts; a 4-core reserve is the fastest 32-core
+    configuration.  The reserve is PROPORTIONAL so that N-core and
+    4N-core "nodes" are compared fairly in the scaling pair (a fixed
+    reserve would tax only the big leg)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     task_slots = int(cpus)
-    if jvm_headroom and task_slots >= 16:
-        task_slots = task_slots - 4
+    if jvm_headroom and task_slots >= 8:
+        task_slots = task_slots - max(1, task_slots // 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(task_slots, 4)
     builder = (
@@ -58,9 +61,19 @@ def build_session(
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         # cap JVM background threads (GC/JIT default to one per core):
         # on preemption-expensive kernels they steal cycles from the
-        # Python encode workers
+        # Python encode workers.  Set on BOTH driver and executor so a
+        # real cluster's executor JVMs get the caps too.  Caveat: JVM
+        # options and driver.memory only take effect when this builder
+        # actually launches the JVM — getOrCreate() after a prior
+        # session in the same process reuses the first JVM's settings
+        # (bench.py's sequential sessions share one JVM by design; set
+        # them via spark-submit/env to override per-process).
         .config(
             "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
             "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
         )
     )
