@@ -6,7 +6,7 @@ for top-k. A plan regression here is a 100TB regression."""
 import pytest
 
 from tests.conftest import SF_SMOKE
-from universal_parquet_exporter_spark.operators import relational, similarity
+from universal_parquet_exporter_spark.operators import dedup, relational, similarity
 
 
 def plan_of(df) -> str:
@@ -53,6 +53,35 @@ def test_brute_force_topk_is_joinless_map(spark):
     plan = plan_of(df)
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "Join" not in plan
+
+
+def test_exact_dedup_shuffles_narrow_rows(spark):
+    """Winner election must exchange only (fingerprint, doc_id) pairs —
+    never the document bodies — and must not use a window (whole-row
+    sort shuffle)."""
+    df = dedup.q_dedup_exact(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning(fingerprint" in plan
+    exchange_line = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln][0]
+    assert "text" not in exchange_line
+
+
+def test_ngram_jaccard_avoids_window(spark):
+    """Prefix derivation is a groupBy aggregation (per-group in-memory
+    sort), not a row_number window over the exploded token stream."""
+    df = dedup.q_dedup_ngram_jaccard(spark, SF_SMOKE)
+    assert "Window" not in plan_of(df)
+
+
+def test_srp_bucketing_is_joinless_map(spark):
+    """SRP bucket assignment ships the hyperplane matrix inside the map
+    function: one narrow MapInArrow pass, no join, no shuffle."""
+    docs = dedup._t(spark, SF_SMOKE, "embeddings")
+    df = similarity.srp_buckets(docs, planes=docs, n_planes=6)
+    plan = plan_of(df)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_no_python_udfs_in_relational_plans(spark):

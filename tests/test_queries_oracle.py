@@ -77,12 +77,10 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    q = entry_mod.queries()[name]
-    df = q(spark, SF_SMOKE)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    """Round-2 invariant: no rows-only queries — each queries() entry is
+    value-checked against a DuckDB oracle by the driver."""
+    assert ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):

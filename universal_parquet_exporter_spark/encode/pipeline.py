@@ -151,6 +151,15 @@ class EncodeJobConfig:
     # defaultParallelism).  Benchmarks pin this so every parallelism
     # level runs IDENTICAL per-task work — the way a real cluster scales.
     map_tasks: int | None = None
+    # resume semantics: True (batch default) skips units already ok in
+    # lineage; False (streaming append) encodes every input row, adding
+    # fragments to existing units under this run's id.
+    skip_completed: bool = True
+    # idempotency tag recorded in lineage (streaming micro-batches use
+    # "batch_<id>"): a replayed foreachBatch attempt is skipped when its
+    # tag is already committed, and a torn attempt's fragments carry an
+    # uncommitted run_id, so decode never sees duplicates.
+    batch_tag: str = ""
 
     def __post_init__(self):
         if not self.run_id:
@@ -296,6 +305,22 @@ def completed_units(spark, output_dir: str) -> set[int]:
     return {r.unit for r in rows}
 
 
+def completed_batch_tags(spark, output_dir: str) -> set[str]:
+    """Batch tags with committed lineage — a streaming sink checks this
+    before encoding so micro-batch replays are no-ops (exactly-once at
+    batch granularity)."""
+    lineage_dir = os.path.join(output_dir, "lineage")
+    if not os.path.isdir(lineage_dir):
+        return set()
+    ldf = spark.read.parquet(lineage_dir)
+    if "batch_tag" not in ldf.columns:
+        return set()
+    rows = (
+        ldf.where("status = 'ok' AND batch_tag != ''").select("batch_tag").distinct().collect()
+    )
+    return {r.batch_tag for r in rows}
+
+
 def _encode_stream(
     iterator,
     plan_local: EncodePlan,
@@ -436,7 +461,7 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     DataFrame path pays a JVM->Python Arrow transfer of every raw row,
     which measurably anti-scales on fault-expensive kernels."""
     plan = load_or_build_plan(df, cfg)
-    done = completed_units(spark, cfg.output_dir)
+    done = completed_units(spark, cfg.output_dir) if cfg.skip_completed else set()
 
     bplan = spark.sparkContext.broadcast(plan.to_json())
     bdone = spark.sparkContext.broadcast(sorted(done))
@@ -471,7 +496,7 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     if not items:
         raise ValueError(f"no parquet files under {input_dir}")
     plan = load_or_build_plan_parquet(spark, items, total_rows, cfg)
-    done = completed_units(spark, cfg.output_dir)
+    done = completed_units(spark, cfg.output_dir) if cfg.skip_completed else set()
 
     bplan = spark.sparkContext.broadcast(plan.to_json())
     bdone = spark.sparkContext.broadcast(sorted(done))
@@ -548,6 +573,7 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     lineage = (
         new_units.withColumn("run_id", F.lit(cfg.run_id))
         .withColumn("status", F.lit("ok"))
+        .withColumn("batch_tag", F.lit(cfg.batch_tag))
         .withColumn("committed_at", F.current_timestamp())
     )
     lineage.write.mode("append").parquet(os.path.join(cfg.output_dir, "lineage"))

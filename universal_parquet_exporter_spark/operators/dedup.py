@@ -173,9 +173,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs over documents."""
+    """LSH candidate pairs over documents.  No global sort: the driver's
+    value hash is order-insensitive, and at sf0.1 this output is ~4.4M
+    pairs — a whole-result orderBy would add a full sort shuffle for
+    nothing."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_candidates(docs).orderBy("id_a", "id_b")
+    return minhash_candidates(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,16 @@ engine operators applied to unbounded inputs, for pipelines that encode
 or analyze a continuously-crawled corpus.
 """
 
-from .jobs import streaming_event_counts, streaming_quality_scores, streaming_running_totals
+from .jobs import (
+    streaming_encode_ingest,
+    streaming_event_counts,
+    streaming_quality_scores,
+    streaming_running_totals,
+)
 
-__all__ = ["streaming_event_counts", "streaming_quality_scores", "streaming_running_totals"]
+__all__ = [
+    "streaming_encode_ingest",
+    "streaming_event_counts",
+    "streaming_quality_scores",
+    "streaming_running_totals",
+]
