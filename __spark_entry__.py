@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": similarity.q_embed_topk,
         "embed_ann_lsh": similarity.q_embed_ann_lsh,
         "embed_ann_ivf": similarity.q_embed_ann_ivf,
+        "clean_corpus": textstats.q_clean_corpus,
         "token_count": textstats.q_token_count,
         "quality_score": textstats.q_quality_score,
         "langid": textstats.q_langid,
@@ -326,6 +327,43 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             f"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens, "
             "length(text) AS n_chars FROM documents"
+        ),
+        # dedup -> quality filter -> langid, chained exactly as the Spark
+        # pipeline composes them
+        "clean_corpus": (
+            f"""
+            WITH surv AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            q AS (
+              SELECT doc_id, text,
+                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                round(CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                      ELSE 0.0 END, 4) AS punct_ratio
+              FROM surv),
+            f AS (SELECT * FROM q WHERE n_tokens >= 25 AND punct_ratio <= 0.2),
+            t AS (
+              SELECT doc_id, n_tokens, punct_ratio,
+                CASE WHEN length(trim(text)) = 0 THEN [] ELSE list_transform({_TOKS}, x -> lower(x)) END AS toks
+              FROM f),
+            s AS (
+              SELECT doc_id, n_tokens, punct_ratio,
+                len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+                len(list_filter(toks, t -> t IN ('der','und','die'))) AS s_de,
+                len(list_filter(toks, t -> t IN ('le','et','les'))) AS s_fr,
+                len(list_filter(toks, t -> t IN ('el','y','los'))) AS s_es
+              FROM t)
+            SELECT doc_id, n_tokens, punct_ratio,
+              CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                   WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+                   WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                   WHEN s_es > 0 THEN 'es'
+                   ELSE 'und' END AS lang_guess
+            FROM s
+            """
         ),
         "quality_score": (
             f"""

@@ -157,3 +157,29 @@ def test_embeddings_like_compresses_lengths():
     meta, bufs = encode_array("v", src)
     total = sum(len(b) for b in bufs)
     assert total <= vecs.nbytes * 1.02  # lengths amortize to ~nothing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.floats(width=32, allow_nan=False)),
+                max_size=8,
+            ),
+        ),
+        max_size=48,
+    )
+)
+def test_list_float_property_roundtrip(rows):
+    """Any list<float> shape — ragged lengths, null slots, null elements,
+    empties — must round-trip to an equal array of the exact type."""
+    src = pa.array(rows, type=pa.list_(pa.float32()))
+    out, _ = roundtrip(src)
+    assert out.type.equals(src.type)
+    assert out.equals(src)

@@ -120,3 +120,30 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp"),
         F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("fp32"),
     )
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline over ``documents`` —
+    the three stages a web-corpus pass actually chains: exact dedup
+    (lowest-id winner per text fingerprint, narrow-payload election),
+    quality filtering (``n_tokens >= 25`` and ``punct_ratio <= 0.2`` —
+    thresholds chosen to actually discriminate on the fixture),
+    then language ID on the survivors.  One projected groupBy + one
+    semi-join + pure Catalyst expressions; at 100 TB nothing here
+    shuffles a document body except the semi-join's single pass."""
+    docs = _t(spark, sf_dir, "documents")
+    winners = (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(winners, "doc_id", "left_semi")
+    n_tokens, punct_ratio, _stop, _avg = quality_exprs(F.col("text"))
+    return (
+        kept.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .filter((F.col("n_tokens") >= 25) & (F.col("punct_ratio") <= 0.2))
+        .withColumn("lang_guess", langid_expr(F.col("text")))
+        .select("doc_id", "n_tokens", "punct_ratio", "lang_guess")
+    )
