@@ -180,13 +180,15 @@ def scale_leg_main(argv: list[str]) -> None:
     warm_workers(spark, cores)
     warm = encode_bench(spark, warm_parquet, workdir, f"warm_{label}", map_tasks=min(n_map, 8))
     shutil.rmtree(warm["output_dir"], ignore_errors=True)
-    # three timed runs per (already-paid-for) JVM: the shared host's noise
-    # amplitude is several x, so the best-of estimator needs samples more
-    # than it needs fresh processes; sync between runs drains writeback
+    # two timed runs per (already-paid-for) JVM — 6 samples per leg over
+    # 3 interleaved host-noise windows: the shared host's noise amplitude
+    # is several x, so the best-of estimator needs sample breadth, while
+    # total bench wall must stay bounded for the per-round driver run;
+    # sync between runs drains writeback
     best = None
     samples = []
     caps = []
-    for i in range(3):
+    for i in range(2):
         os.sync()
         cap = host_capacity(cores)
         m = encode_bench(spark, input_parquet, workdir, f"{label}_{i}", map_tasks=n_map)
