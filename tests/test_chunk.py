@@ -183,3 +183,24 @@ def test_list_float_property_roundtrip(rows):
     out, _ = roundtrip(src)
     assert out.type.equals(src.type)
     assert out.equals(src)
+
+
+def test_container_column_pruning():
+    """deserialize_chunk(columns=...) must decode ONLY the requested
+    columns (excluded buffers skipped by length) and agree with the full
+    decode bit-for-bit."""
+    tbl = pa.table(
+        {
+            "url": CASES["text"],
+            "lang": CASES["lang_lowcard"][:2000],
+            "val": CASES["float"][:2000],
+        }
+    )
+    p, _ = serialize_chunk(tbl)
+    full = deserialize_chunk(p)
+    pruned = deserialize_chunk(p, columns=["val", "url"])
+    assert pruned.schema.names == ["val", "url"]
+    assert pruned.column("url").equals(full.column("url"))
+    assert pruned.column("val").equals(full.column("val"))
+    with pytest.raises(KeyError):
+        deserialize_chunk(p, columns=["nope"])

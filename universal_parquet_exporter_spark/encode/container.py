@@ -71,20 +71,30 @@ def _codec_label(meta: dict) -> str:
     return str(codec)
 
 
-def deserialize_chunk(payload: bytes) -> pa.Table:
-    """Exact inverse of :func:`serialize_chunk`."""
+def deserialize_chunk(payload: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Exact inverse of :func:`serialize_chunk`.  With ``columns``, only
+    those columns are DECODED — excluded columns' buffers are skipped by
+    their recorded lengths without touching the codec layer (reading
+    only ``text`` never pays for decompressing ``html``), in requested
+    order."""
     if payload[:4] != _MAGIC:
         raise ValueError("bad container magic")
     meta_len = int.from_bytes(payload[4:8], "little")
     meta_doc = json.loads(payload[8 : 8 + meta_len])
     pos = 8 + meta_len
-    arrays = []
-    names = []
+    arrays = {}
     for col_meta in meta_doc["cols"]:
+        if columns is not None and col_meta["name"] not in columns:
+            pos += sum(col_meta["buf_lens"])
+            continue
         bufs = []
         for ln in col_meta["buf_lens"]:
             bufs.append(payload[pos : pos + ln])
             pos += ln
-        arrays.append(decode_array(col_meta, bufs))
-        names.append(col_meta["name"])
-    return pa.table(dict(zip(names, arrays)))
+        arrays[col_meta["name"]] = decode_array(col_meta, bufs)
+    if columns is not None:
+        missing = [c for c in columns if c not in arrays]
+        if missing:
+            raise KeyError(f"columns not in chunk: {missing}")
+        return pa.table({c: arrays[c] for c in columns})
+    return pa.table(arrays)

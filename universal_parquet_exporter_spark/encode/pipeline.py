@@ -653,9 +653,10 @@ def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
                         if fh is None:
                             fh = handles[fname] = _open_payload(payload_dir, fname)
                         fh.seek(off)
-                        cur_tbl = deserialize_chunk(fh.read(ln))
-                        if columns:
-                            cur_tbl = cur_tbl.select(columns)
+                        # column pruning happens INSIDE the container:
+                        # excluded columns' buffers are skipped, never
+                        # decompressed
+                        cur_tbl = deserialize_chunk(fh.read(ln), columns)
                         cur_key = (fname, off)
                     for b in cur_tbl.slice(roff, nr).to_batches():
                         if b.num_rows:
@@ -718,9 +719,10 @@ def _ddl_type(t: pa.DataType) -> str:
 
 
 def _arrow_to_ddl(schema: pa.Schema, columns: list[str] | None) -> str:
-    return ", ".join(
-        f"{f.name} {_ddl_type(f.type)}" for f in schema if not columns or f.name in columns
-    )
+    if columns:
+        # requested order — must match deserialize_chunk's pruned order
+        return ", ".join(f"{c} {_ddl_type(schema.field(c).type)}" for c in columns)
+    return ", ".join(f"{f.name} {_ddl_type(f.type)}" for f in schema)
 
 
 def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
