@@ -205,3 +205,26 @@ def test_orphan_fragments_ignored(spark, webpages, outdir):
     dec = decode_dataset(spark, outdir)
     assert dec.count() == N_ROWS  # orphans not double-read
     assert _mismatches(webpages, dec) == 0
+
+
+def test_uri_scheme_output_dir(spark, webpages, outdir):
+    """`file://` output dirs exercise the pyarrow.fs payload/metadata
+    routing (the same code path hdfs:// and s3:// take): plan persist +
+    reload, payload writes, resume bookkeeping, and decode all work
+    through the resolved filesystem."""
+    uri = "file://" + outdir
+    cfg = EncodeJobConfig(output_dir=uri, target_unit_bytes=2 << 20)
+    metrics = encode_job(spark, webpages, cfg)
+    assert metrics["rows"] == N_ROWS
+    plan = load_or_build_plan(webpages, cfg)  # must reload via fs, not rebuild
+    assert plan.n_units == metrics["plan_units"]
+    assert completed_units(spark, uri) == set(range(plan.n_units))
+    dec = decode_dataset(spark, uri, columns=["url", "text"])
+    assert dec.columns == ["url", "text"]
+    assert dec.count() == N_ROWS
+    assert _mismatches_cols(webpages, dec) == 0
+
+
+def _mismatches_cols(df, dec):
+    j = df.alias("a").join(dec.alias("b"), "url", "full")
+    return j.where(~F.col("a.text").eqNullSafe(F.col("b.text"))).count()

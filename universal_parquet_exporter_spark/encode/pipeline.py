@@ -196,20 +196,44 @@ def _plan_path(output_dir: str) -> str:
 
 
 def _persist_plan(plan: EncodePlan, output_dir: str) -> None:
-    path = _plan_path(output_dir)
-    os.makedirs(output_dir, exist_ok=True)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(plan.to_json())
-    os.replace(tmp, path)
+    fs, root = _payload_fs(output_dir)
+    if fs is None:
+        path = _plan_path(root)
+        os.makedirs(root, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(plan.to_json())
+        os.replace(tmp, path)
+    else:
+        fs.create_dir(root, recursive=True)
+        with fs.open_output_stream(f"{root}/plan.json") as f:
+            f.write(plan.to_json().encode())
 
 
 def _load_plan(output_dir: str) -> EncodePlan | None:
-    path = _plan_path(output_dir)
-    if os.path.exists(path):
-        with open(path) as f:
-            return EncodePlan.from_json(f.read())
-    return None
+    fs, root = _payload_fs(output_dir)
+    if fs is None:
+        path = _plan_path(root)
+        if os.path.exists(path):
+            with open(path) as f:
+                return EncodePlan.from_json(f.read())
+        return None
+    from pyarrow.fs import FileType
+
+    info = fs.get_file_info(f"{root}/plan.json")
+    if info.type == FileType.NotFound:
+        return None
+    with fs.open_input_file(f"{root}/plan.json") as f:
+        return EncodePlan.from_json(f.read().decode())
+
+
+def _dir_exists(path: str) -> bool:
+    fs, p = _payload_fs(path)
+    if fs is None:
+        return os.path.isdir(p)
+    from pyarrow.fs import FileType
+
+    return fs.get_file_info(p).type == FileType.Directory
 
 
 def load_or_build_plan(df, cfg: EncodeJobConfig) -> EncodePlan:
@@ -299,7 +323,7 @@ def load_or_build_plan_parquet(
 def completed_units(spark, output_dir: str) -> set[int]:
     """Units whose lineage rows say 'ok' — skipped on resume."""
     lineage_dir = os.path.join(output_dir, "lineage")
-    if not os.path.isdir(lineage_dir):
+    if not _dir_exists(lineage_dir):
         return set()
     rows = spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit").collect()
     return {r.unit for r in rows}
@@ -310,7 +334,7 @@ def completed_batch_tags(spark, output_dir: str) -> set[str]:
     before encoding so micro-batch replays are no-ops (exactly-once at
     batch granularity)."""
     lineage_dir = os.path.join(output_dir, "lineage")
-    if not os.path.isdir(lineage_dir):
+    if not _dir_exists(lineage_dir):
         return set()
     ldf = spark.read.parquet(lineage_dir)
     if "batch_tag" not in ldf.columns:
