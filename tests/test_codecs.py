@@ -175,3 +175,37 @@ def test_bits_needed():
     assert bits_needed(256) == 9
     with pytest.raises(ValueError):
         bits_needed(-1)
+
+
+def test_delta_roundtrip_and_wins_on_sequences():
+    from universal_parquet_exporter_spark.codecs.forcodec import delta_decode, delta_encode
+    from universal_parquet_exporter_spark.encode.chunk import decode_int_stream, encode_int_stream
+
+    cases = [
+        np.arange(10_000, dtype=np.int64) + 1_000_000,          # sequential ids
+        np.int64(1_700_000_000_000_000) + np.cumsum(np.random.default_rng(42).integers(0, 1000, 5000)),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, -1, 0, 1], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    ]
+    for v in cases:
+        meta, bufs = delta_encode(v)
+        assert np.array_equal(delta_decode(meta, bufs), v)
+    # the selector must pick delta for a long sequential run and beat FOR hard
+    seq = np.arange(50_000, dtype=np.int64) + 10**12
+    meta, bufs = encode_int_stream(seq)
+    assert meta["codec"] == "delta", meta["codec"]
+    assert sum(len(b) for b in bufs) < seq.nbytes // 50
+    assert np.array_equal(decode_int_stream(meta, bufs), seq)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=0, max_size=300)
+)
+def test_delta_property_roundtrip(xs):
+    from universal_parquet_exporter_spark.codecs.forcodec import delta_decode, delta_encode
+
+    v = np.array(xs, dtype=np.int64)
+    meta, bufs = delta_encode(v)
+    assert np.array_equal(delta_decode(meta, bufs), v)

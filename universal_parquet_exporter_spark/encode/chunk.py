@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from ..codecs.bitpack import bitpack, bits_needed, bitunpack
 from ..codecs.dictionary import dict_decode_ints, dict_encode_ints
-from ..codecs.forcodec import for_decode, for_encode
+from ..codecs.forcodec import delta_decode, delta_encode, for_decode, for_encode
 from ..codecs.fsst import FsstTable, fsst_decode, fsst_encode, fsst_train
 from ..codecs.rle import rle_decode, rle_encode, rle_runs
 
@@ -132,12 +132,23 @@ def encode_int_stream(v: np.ndarray) -> tuple[dict, list[bytes]]:
     est["dict"] = st["card"] * max(w_for, 8) / 8 + n * w_code / 8
     # dict+rle: runs in code space == runs in value space
     est["dict_rle"] = st["card"] * max(w_for, 8) / 8 + st["runs"] * (w_code + bits_needed(n)) / 8
+    if n > 1:
+        # delta: exploits LOCAL ordering (sequential ids, near-monotonic
+        # timestamps) that FOR's global range cannot see; width estimated
+        # exactly as delta_encode's inner FOR pass will see it
+        u = v64.view(np.uint64)
+        diffs = u[1:] - u[:-1]
+        dref = np.uint64(np.int64(int(diffs.view(np.int64).min())))
+        w_delta = bits_needed(int((diffs - dref).max()))
+        est["delta"] = (n - 1) * w_delta / 8 + 16
     choice = min(est, key=est.get)  # type: ignore[arg-type]
     src = np.ascontiguousarray(v)
     if choice == "for":
         return for_encode(src)
     if choice == "rle":
         return rle_encode(src)
+    if choice == "delta":
+        return delta_encode(src)
     if choice == "dict":
         return dict_encode_ints(src, use_rle=False)
     return dict_encode_ints(src, use_rle=True)
@@ -149,6 +160,8 @@ def decode_int_stream(meta: dict, buffers: list[bytes]) -> np.ndarray:
         return for_decode(meta, buffers)
     if codec == "rle":
         return rle_decode(meta, buffers)
+    if codec == "delta":
+        return delta_decode(meta, buffers)
     if codec == "dict":
         return dict_decode_ints(meta, buffers)
     raise ValueError(f"unknown int codec {codec}")
