@@ -67,20 +67,24 @@ static inline uint64_t load8(const uint8_t* p) {
    TWO bytes (first2_off[w2]..first2_off[w2+1], length-desc within a
    bucket), so the candidate scan touches only symbols that already match
    2 bytes; length-1 symbols resolve via the direct code1[256] table.
-   Greedy longest-match semantics identical to the NumPy fallback. */
+   The common case takes ONE load in the 128 KB best2[w2] table (the
+   bucket's longest candidate) verified against the tiny L1-resident
+   sym_val/sym_mask arrays; only a first-candidate miss touches the
+   bucket scan.  Greedy longest-match semantics identical to the NumPy
+   fallback. */
 int64_t upes_fsst_encode(const uint8_t* data, int64_t n,
                          const uint64_t* sym_val, const uint64_t* sym_mask,
                          const int32_t* sym_len, const uint8_t* grouped2,
                          const int32_t* first2_off, const int16_t* code1,
-                         uint8_t* out) {
+                         const int16_t* best2, uint8_t* out) {
     int64_t i = 0, pos = 0;
     int64_t safe = n - 8;
     while (i < n) {
         int64_t rem = n - i;
         if (rem >= 2) {
             uint32_t w2 = (uint32_t)data[i] | ((uint32_t)data[i + 1] << 8);
-            int32_t lo = first2_off[w2], hi = first2_off[w2 + 1];
-            if (lo != hi) {
+            int16_t b = best2[w2];
+            if (b >= 0) {
                 uint64_t w;
                 if (i <= safe) {
                     w = load8(data + i);
@@ -88,10 +92,16 @@ int64_t upes_fsst_encode(const uint8_t* data, int64_t n,
                     w = 0;
                     memcpy(&w, data + i, rem);
                 }
+                int l = sym_len[b];
+                if (l <= rem && (w & sym_mask[b]) == sym_val[b]) {
+                    out[pos++] = (uint8_t)b; i += l; continue;
+                }
+                /* longest candidate missed: scan the bucket tail */
+                int32_t lo = first2_off[w2] + 1, hi = first2_off[w2 + 1];
                 int best = -1, bl = 0;
                 for (int32_t k = lo; k < hi; k++) {
                     int c = grouped2[k];
-                    int l = sym_len[c];
+                    l = sym_len[c];
                     if (l <= rem && (w & sym_mask[c]) == sym_val[c]) {
                         best = c; bl = l; break;  /* length-desc: first hit = longest */
                     }
@@ -179,7 +189,7 @@ def _build() -> "ctypes.CDLL | None":
     lib.upes_bitunpack.argtypes = [u8p, i64, c_int, u64p]
     lib.upes_bitunpack.restype = None
     i16p = ctypes.POINTER(ctypes.c_int16)
-    lib.upes_fsst_encode.argtypes = [u8p, i64, u64p, u64p, i32p, u8p, i32p, i16p, u8p]
+    lib.upes_fsst_encode.argtypes = [u8p, i64, u64p, u64p, i32p, u8p, i32p, i16p, i16p, u8p]
     lib.upes_fsst_encode.restype = i64
     lib.upes_fsst_decoded_size.argtypes = [u8p, i64, i32p]
     lib.upes_fsst_decoded_size.restype = i64

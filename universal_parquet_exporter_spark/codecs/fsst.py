@@ -86,8 +86,13 @@ class FsstTable:
             for w2 in order:
                 grouped_list.extend(by_first2[w2])
             grouped2 = np.array(grouped_list, dtype=np.uint8)
+            # direct-mapped longest candidate per 2-byte prefix: the C
+            # scan's common case is one load here + an L1 verify
+            best2 = np.full(65536, -1, dtype=np.int16)
+            for w2, codes in by_first2.items():
+                best2[w2] = codes[0]
             self._arrays = (
-                flat, offs[:-1].copy(), lens, grouped2, first2_off, code1, vals, masks
+                flat, offs[:-1].copy(), lens, grouped2, first2_off, code1, vals, masks, best2
             )
         return self._arrays
 
@@ -206,7 +211,7 @@ def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, grouped2, first2_off, code1, vals, masks = table.native_arrays()
+        flat, offs, lens, grouped2, first2_off, code1, vals, masks, best2 = table.native_arrays()
         out = np.empty(2 * n, dtype=np.uint8)  # worst case: all escaped
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i16p = ctypes.POINTER(ctypes.c_int16)
@@ -217,6 +222,7 @@ def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
             vals.ctypes.data_as(u64p), masks.ctypes.data_as(u64p),
             lens.ctypes.data_as(i32p), grouped2.ctypes.data_as(u8p),
             first2_off.ctypes.data_as(i32p), code1.ctypes.data_as(i16p),
+            best2.ctypes.data_as(i16p),
             out.ctypes.data_as(u8p),
         )
         return out[:m].tobytes()
@@ -275,7 +281,7 @@ def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
         return b""
     lib = get_native()
     if lib is not None:
-        flat, offs, lens, _, _, _, _, _ = table.native_arrays()
+        flat, offs, lens = table.native_arrays()[:3]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         total = lib.upes_fsst_decoded_size(codes.ctypes.data_as(u8p), n, lens.ctypes.data_as(i32p))
