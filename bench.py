@@ -317,6 +317,11 @@ def main() -> None:
             best = dict(max(reps, key=lambda m: m["gbps"]))
             best["gbps_reps"] = [g for m in reps for g in m["gbps_samples"]]
             best["capacity_reps"] = [c for m in reps for c in m["capacity_samples"]]
+            # capability estimates are max-over-samples on BOTH axes: the
+            # per-sample capacity probe is itself noisy, and pairing the
+            # best gbps with whatever probe happened to precede it makes
+            # the adjusted efficiency swing wildly in both directions
+            best["host_capacity"] = max(best["capacity_reps"])
             best["mp_control_reps"] = [m["mp_control_gbps"] for m in reps]
             best["mp_control_gbps"] = max(best["mp_control_reps"])
             if cores == CPUS:
