@@ -1,0 +1,137 @@
+"""Vacuum sweep tests: dead payload files + orphan manifest rows from a
+crashed run are reclaimed and decode stays bit-identical.
+
+Crash model matches the pipeline's commit ordering (payload write →
+manifest commit → lineage commit): a run that dies after the manifest
+commit leaves orphan manifest rows AND dead payload files; a task
+attempt that dies before its manifest commit leaves only a dead payload
+file.  Both are simulated the way ``test_orphan_fragments_ignored``
+does."""
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_parquet_exporter_spark.encode.maintenance import vacuum
+from universal_parquet_exporter_spark.encode.pipeline import (
+    EncodeJobConfig,
+    decode_dataset,
+    encode_job,
+)
+from universal_parquet_exporter_spark.fixtures import generate_webpages
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    df = generate_webpages(spark, N_ROWS, partitions=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="upes_vac_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _payload_bytes(outdir):
+    pdir = os.path.join(outdir, "payload")
+    return sum(os.path.getsize(os.path.join(pdir, f)) for f in os.listdir(pdir))
+
+
+def _crash_after_manifest_commit(spark, webpages, outdir):
+    """Simulate a run that died between the manifest commit and the
+    lineage commit: its payload files exist and its manifest rows are
+    committed, but no lineage row records the run."""
+    data_dir = os.path.join(outdir, "data")
+    pdir = os.path.join(outdir, "payload")
+    torn = spark.read.parquet(data_dir).withColumn("run_id", F.lit("deadbeef0000"))
+    # the torn run's payload: distinct fake files so file-level liveness
+    # is exercised (a live and a dead manifest row never share a file)
+    fake_rows = torn.select("file").distinct().collect()
+    renames = {r.file: f"frag-torn-{i:04d}.bin" for i, r in enumerate(fake_rows)}
+    for src, dst in renames.items():
+        shutil.copyfile(os.path.join(pdir, src), os.path.join(pdir, dst))
+    mapping = F.create_map([F.lit(x) for kv in renames.items() for x in kv])
+    torn = torn.withColumn("file", mapping[F.col("file")])
+    torn.write.mode("append").parquet(data_dir)
+    return set(renames.values())
+
+
+def test_vacuum_reclaims_dead_files_and_orphan_rows(spark, webpages, outdir):
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    baseline = decode_dataset(spark, outdir).orderBy("url").collect()
+
+    dead_names = _crash_after_manifest_commit(spark, webpages, outdir)
+    # plus a payload-only casualty: an attempt that died pre-commit
+    pdir = os.path.join(outdir, "payload")
+    with open(os.path.join(pdir, "frag-lost-attempt.bin"), "wb") as f:
+        f.write(b"\x00" * 4096)
+    dead_names.add("frag-lost-attempt.bin")
+    before = _payload_bytes(outdir)
+
+    dry = vacuum(spark, outdir, dry_run=True)
+    assert dry["deleted_files"] == len(dead_names)
+    assert dry["orphan_manifest_rows"] > 0
+    assert _payload_bytes(outdir) == before  # dry run touches nothing
+
+    rep = vacuum(spark, outdir)
+    assert rep["deleted_files"] == len(dead_names)
+    assert rep["reclaimed_bytes"] > 0
+    assert rep["manifest_rewritten"] is True
+    assert before - _payload_bytes(outdir) == rep["reclaimed_bytes"]
+    surviving = set(os.listdir(pdir))
+    assert not (surviving & dead_names)
+
+    # manifest now orphan-free; decode bit-identical to pre-crash
+    data = spark.read.parquet(os.path.join(outdir, "data"))
+    assert data.where("run_id = 'deadbeef0000'").count() == 0
+    after = decode_dataset(spark, outdir).orderBy("url").collect()
+    assert after == baseline
+
+    # idempotent: a second sweep finds nothing
+    rep2 = vacuum(spark, outdir)
+    assert rep2["deleted_files"] == 0 and rep2["orphan_manifest_rows"] == 0
+
+
+def test_vacuum_horizon_spares_recent_files(spark, webpages, outdir):
+    """A live job's not-yet-committed payload file (recent mtime) must
+    survive a horizoned sweep — the Iceberg concurrency contract."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    pdir = os.path.join(outdir, "payload")
+    fresh = os.path.join(pdir, "frag-inflight.bin")
+    with open(fresh, "wb") as f:
+        f.write(b"\x01" * 1024)
+    old = os.path.join(pdir, "frag-ancient.bin")
+    with open(old, "wb") as f:
+        f.write(b"\x02" * 1024)
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    rep = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep["deleted_files"] == 1
+    assert os.path.exists(fresh) and not os.path.exists(old)
+
+
+def test_vacuum_uri_output_dir(spark, webpages, outdir):
+    """The sweep works through the pyarrow.fs routing (file:// stands in
+    for hdfs://; manifest rewrite uses fs.move)."""
+    uri = "file://" + outdir
+    cfg = EncodeJobConfig(output_dir=uri, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    _crash_after_manifest_commit(spark, webpages, outdir)
+
+    rep = vacuum(spark, uri)
+    assert rep["deleted_files"] > 0
+    assert rep["orphan_manifest_rows"] > 0 and rep["manifest_rewritten"] is True
+    assert decode_dataset(spark, uri).count() == N_ROWS

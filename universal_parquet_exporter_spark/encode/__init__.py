@@ -8,11 +8,14 @@ Layers:
   payload + JSON meta;
 - :mod:`.pipeline` — the distributed job: size-aware partition planning,
   ``mapInArrow`` encode, Parquet sink, lineage/metrics, checkpointed
-  resume, and the decode (read-back) path.
+  resume, and the decode (read-back) path;
+- :mod:`.maintenance` — vacuum sweep for dead payload files and orphan
+  manifest rows (the Iceberg ``remove_orphan_files`` analog).
 """
 
 from .chunk import decode_array, encode_array
 from .container import deserialize_chunk, serialize_chunk
+from .maintenance import vacuum
 from .pipeline import (
     EncodeJobConfig,
     decode_dataset,
@@ -29,4 +32,5 @@ __all__ = [
     "encode_job",
     "encode_parquet_job",
     "decode_dataset",
+    "vacuum",
 ]

@@ -76,7 +76,11 @@ def deserialize_chunk(payload: bytes, columns: list[str] | None = None) -> pa.Ta
     those columns are DECODED — excluded columns' buffers are skipped by
     their recorded lengths without touching the codec layer (reading
     only ``text`` never pays for decompressing ``html``), in requested
-    order."""
+    order.  An empty list is normalized to None (full decode) so this
+    layer agrees with the pipeline's ``_arrow_to_ddl``, which treats
+    ``[]`` as falsy and emits the full schema."""
+    if not columns:
+        columns = None
     if payload[:4] != _MAGIC:
         raise ValueError("bad container magic")
     meta_len = int.from_bytes(payload[4:8], "little")

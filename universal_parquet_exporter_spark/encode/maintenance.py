@@ -1,0 +1,187 @@
+"""Maintenance sweep for encoded datasets: vacuum dead payload files and
+orphan manifest rows.
+
+The encode job's crash-safety design (see :mod:`.pipeline` module
+docstring) deliberately leaves garbage instead of blocking on cleanup:
+
+- a task attempt that ran but whose manifest rows never committed (job
+  crash, speculative/retried attempt that lost) leaves a **dead payload
+  file** — present in ``payload/`` but referenced by no committed
+  manifest row;
+- a run that crashed between the manifest commit and the lineage commit
+  leaves **orphan manifest rows** — present in ``data/`` but whose
+  ``(unit, run_id)`` has no ``status='ok'`` lineage row.  Decode already
+  semi-joins them away; they only cost manifest-scan bytes.
+
+Neither is ever read, but a long-running 100 TB table accumulates them
+forever; :func:`vacuum` is the engine's analog of Iceberg's
+``remove_orphan_files`` + ``rewrite_manifests`` maintenance actions (the
+reference side-steps the problem with self-contained per-run output
+dirs, ``/root/reference/examples/advanced_integration_example.py:37-51``).
+
+Concurrency contract (same as Iceberg's): run vacuum while no encode
+job is writing, **or** pass ``older_than_sec`` greater than the longest
+possible in-flight job so a live task's payload file (written, not yet
+committed) is never swept.  Production default should be hours-to-days;
+0 is for tests and known-quiet tables.
+
+Scale notes: the live-file set is one ``file`` value per committed task
+attempt — collected to the driver it is bounded by total task count
+(~1.6 M for 100 TB at 64 MB units), a few tens of MB.  The payload-dir
+listing is the same driver-side listing Iceberg's action does.  Deletes
+fan out through the cluster above a small threshold so the sweep is not
+bottlenecked on one filesystem client.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .pipeline import _payload_fs
+
+
+def _list_payload_files(payload_dir: str) -> list[tuple[str, int, float]]:
+    """(name, size, mtime_epoch) for every payload file."""
+    fs, root = _payload_fs(payload_dir)
+    out = []
+    if fs is None:
+        if not os.path.isdir(root):
+            return []
+        for name in os.listdir(root):
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            out.append((name, st.st_size, st.st_mtime))
+    else:
+        from pyarrow.fs import FileSelector, FileType
+
+        sel = FileSelector(root, allow_not_found=True)
+        for info in fs.get_file_info(sel):
+            if info.type == FileType.File:
+                mtime = info.mtime.timestamp() if info.mtime is not None else 0.0
+                out.append((info.base_name, info.size, mtime))
+    return out
+
+
+def _delete_files(payload_dir: str, names: list[str], spark=None) -> None:
+    """Delete payload files; fan out through the cluster for large sweeps
+    so one filesystem client isn't the bottleneck."""
+    if spark is not None and len(names) > 256:
+        def rm(it):
+            fs, root = _payload_fs(payload_dir)
+            for n in it:
+                try:
+                    if fs is None:
+                        os.unlink(os.path.join(root, n))
+                    else:
+                        fs.delete_file(f"{root}/{n}")
+                except FileNotFoundError:
+                    pass
+
+        spark.sparkContext.parallelize(names, max(1, len(names) // 1024)).foreachPartition(rm)
+        return
+    fs, root = _payload_fs(payload_dir)
+    for n in names:
+        try:
+            if fs is None:
+                os.unlink(os.path.join(root, n))
+            else:
+                fs.delete_file(f"{root}/{n}")
+        except FileNotFoundError:
+            pass
+
+
+def vacuum(
+    spark,
+    output_dir: str,
+    *,
+    older_than_sec: float = 0.0,
+    rewrite_manifest: bool = True,
+    dry_run: bool = False,
+) -> dict:
+    """Sweep an encoded dataset: delete payload files referenced by no
+    committed manifest row, and (optionally) compact orphan manifest rows
+    out of ``data/``.
+
+    ``older_than_sec`` is the safety horizon: only files/rows older than
+    this are touched, so an in-flight job's uncommitted writes survive.
+    ``rewrite_manifest`` rewrites ``data/`` without orphan rows via a
+    temp-dir + rename swap — atomic on rename-capable filesystems
+    (POSIX/HDFS); on object stores leave it False and let orphan rows age
+    out as scan noise.  ``dry_run`` reports without deleting.
+
+    Returns counts + reclaimed bytes; decode results are unchanged by
+    construction (only never-read data is touched — pytest-gated by a
+    crash-mid-commit round trip in ``tests/test_maintenance.py``)."""
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(output_dir, "data")
+    lineage_dir = os.path.join(output_dir, "lineage")
+    payload_dir = os.path.join(output_dir, "payload")
+    now = time.time()
+
+    committed = (
+        spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit", "run_id")
+    )
+    manifest = spark.read.parquet(data_dir)
+    live = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
+    live_files = {r.file for r in live.select("file").distinct().collect()}
+
+    listed = _list_payload_files(payload_dir)
+    dead = [
+        (name, size)
+        for name, size, mtime in listed
+        if name not in live_files and (now - mtime) >= older_than_sec
+    ]
+    reclaimed = sum(s for _, s in dead)
+    if dead and not dry_run:
+        _delete_files(payload_dir, [n for n, _ in dead], spark)
+
+    orphan_rows = int(
+        manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_anti").count()
+    )
+    rewrote = False
+    if orphan_rows and rewrite_manifest and not dry_run:
+        # temp-write + double-rename swap, the same commit discipline as
+        # plan.json: a reader never sees a half-written manifest dir
+        tmp_dir = data_dir + ".vacuum_tmp"
+        old_dir = data_dir + ".vacuum_old"
+        live.write.mode("overwrite").parquet(tmp_dir)
+        fs, _ = _payload_fs(data_dir)
+        if fs is None:
+            os.rename(data_dir, old_dir)
+            os.rename(tmp_dir, data_dir)
+            import shutil
+
+            shutil.rmtree(old_dir, ignore_errors=True)
+        else:
+            _, d = _payload_fs(data_dir)
+            _, t = _payload_fs(tmp_dir)
+            _, o = _payload_fs(old_dir)
+            fs.move(d, o)
+            fs.move(t, d)
+            fs.delete_dir(o)
+        rewrote = True
+
+    # stale plan.json temp files from crashed planners
+    stale_tmp = []
+    fs, root = _payload_fs(output_dir)
+    if fs is None and os.path.isdir(root):
+        stale_tmp = [
+            f for f in os.listdir(root)
+            if f.startswith("plan.json.tmp") and (now - os.path.getmtime(os.path.join(root, f))) >= older_than_sec
+        ]
+        if not dry_run:
+            for f in stale_tmp:
+                os.unlink(os.path.join(root, f))
+
+    return {
+        "payload_files": len(listed),
+        "live_files": len(live_files),
+        "deleted_files": len(dead),
+        "reclaimed_bytes": int(reclaimed),
+        "orphan_manifest_rows": orphan_rows,
+        "manifest_rewritten": rewrote,
+        "stale_plan_tmp": len(stale_tmp),
+        "dry_run": dry_run,
+    }

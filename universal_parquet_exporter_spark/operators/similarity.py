@@ -23,6 +23,15 @@ blocks to ``(n, d)`` float64 matrices and runs one BLAS matmul.
 
 Raw double sims leave Python; rounding/thresholding happen in Spark
 expressions so engine/oracle tie-breaking semantics stay identical.
+
+Oracle-contract caveat: BLAS matmuls sum float products in a different
+order than DuckDB's sequential ``list_inner_product`` fold, so a dot
+product sitting exactly on a decision boundary (the SRP ``> 0`` sign
+bit, or the 4th rounded decimal of a cosine) can flip between engines.
+The test fixtures use integer-derived embedding values whose dots stay
+far from those boundaries, and the pair kernels pre-filter with a
+half-ULP-of-rounding margin; on adversarial near-boundary data the
+hash-equality oracle is epsilon-fragile by nature, not wrong.
 """
 
 from __future__ import annotations
@@ -192,7 +201,10 @@ def _bucket_pairs_kernel(threshold: float):
         sims = _cosine_block(m, m)
         iu, ju = np.triu_indices(len(ids), k=1)
         s = sims[iu, ju]
-        keep = s >= threshold - 1e-9  # final exact filter on round(sim,4) in Spark
+        # pre-filter must keep every raw sim that could ROUND UP to the
+        # threshold (final exact filter is round(sim,4) >= threshold in
+        # Spark): widen by half the rounding granularity (5e-5)
+        keep = s >= threshold - 5e-5 - 1e-9
         return pd.DataFrame(
             {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim": s[keep]}
         )
