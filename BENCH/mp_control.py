@@ -94,7 +94,16 @@ def _work(args):
     return bytes_in
 
 
-def run_control(input_dir: str, procs: int, n_map: int | None = None, chunk_rows: int = 32768) -> dict:
+def run_control(
+    input_dir: str,
+    procs: int,
+    n_map: int | None = None,
+    chunk_rows: int = 32768,
+    payload_dir_base: str | None = None,
+) -> dict:
+    """``payload_dir_base`` places the control's payload output on the
+    same medium as the Spark legs' (bench passes the tmpfs workdir so
+    control and engine write to identical storage)."""
     from universal_parquet_exporter_spark.encode.pipeline import _parquet_work_items
 
     items, total_rows = _parquet_work_items(input_dir)
@@ -103,7 +112,7 @@ def run_control(input_dir: str, procs: int, n_map: int | None = None, chunk_rows
     plan_json = _build_plan(items, total_rows).to_json()
     per = len(items) // n_map
     slices = [items[i * per : (i + 1) * per] for i in range(n_map - 1)] + [items[(n_map - 1) * per :]]
-    payload_dir = tempfile.mkdtemp(prefix="upes_mpctl_")
+    payload_dir = tempfile.mkdtemp(prefix="upes_mpctl_", dir=payload_dir_base)
     try:
         # spawn, not fork: forking a large parent (e.g. one that imported
         # pyspark) makes every child's refcount write a copy-on-write

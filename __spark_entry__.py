@@ -427,16 +427,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             f"SELECT doc_id, {_simhash_sql()} AS simhash FROM documents"
         ),
-        # SRP-LSH ANN: same bucketing as dedup_embed (first 6 vectors as
-        # hyperplanes), then top-1 exact rerank within each query's bucket
+        # multi-table SRP-LSH ANN: 8 independent 3-plane hash tables
+        # (hyperplanes = first 24 vectors; table = pid//3, bit = pid%3),
+        # candidates = same-bucket in ANY table, exact top-1 rerank.
+        # One 6-plane table recalled only 0.05 of exact neighbors; 8x3
+        # measures 0.95 (tests/test_ann_recall.py).
         "embed_ann_lsh": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-            "p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6), "
-            "bk AS (SELECT e.vec_id, e.v, CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0 "
-            "THEN power(2.0, p.pid) ELSE 0 END) AS BIGINT) AS bucket FROM e, p GROUP BY e.vec_id, e.v), "
-            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 24), "
+            "bk AS (SELECT e.vec_id, e.v, p.pid // 3 AS tbl, "
+            "CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0 "
+            "THEN power(2.0, p.pid % 3) ELSE 0 END) AS BIGINT) AS bucket "
+            "FROM e, p GROUP BY e.vec_id, e.v, p.pid // 3), "
+            "scored AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
             "list_cosine_similarity(q.v, c.v) AS s FROM bk q JOIN bk c "
-            "ON q.bucket = c.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 20) "
+            "ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id != q.vec_id WHERE q.vec_id < 20) "
             "SELECT query_id, neighbor_id, round(s, 4) AS sim FROM ("
             "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rk FROM scored"
             ") WHERE rk = 1"

@@ -228,3 +228,40 @@ def test_uri_scheme_output_dir(spark, webpages, outdir):
 def _mismatches_cols(df, dec):
     j = df.alias("a").join(dec.alias("b"), "url", "full")
     return j.where(~F.col("a.text").eqNullSafe(F.col("b.text"))).count()
+
+
+def test_iceberg_input_format_via_manifest_mock(spark, webpages, webpages_parquet, outdir, monkeypatch):
+    """`input_format="iceberg"`: the work-list comes from the table's
+    `.files` metadata table (mocked here the way `read_jdbc` is tested
+    without a database — no Iceberg catalog exists in this sandbox) as
+    whole-file items, and tasks expand row groups themselves.  The full
+    encode+decode round trip must match the directory-scan path."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_spark.encode.pipeline import encode_parquet_job
+
+    files = sorted(
+        os.path.join(webpages_parquet, f)
+        for f in os.listdir(webpages_parquet)
+        if f.endswith(".parquet")
+    )
+    meta = spark.createDataFrame(
+        [(f, pq.ParquetFile(f).metadata.num_rows) for f in files],
+        "file_path string, record_count long",
+    )
+    seen_sql = {}
+
+    def fake_sql(query, *a, **kw):
+        seen_sql["q"] = query
+        return meta
+
+    monkeypatch.setattr(spark, "sql", fake_sql)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, target_unit_bytes=2 << 20, input_format="iceberg"
+    )
+    metrics = encode_parquet_job(spark, "warehouse.web.pages", cfg)
+    assert seen_sql["q"] == "SELECT file_path, record_count FROM warehouse.web.pages.files"
+    assert metrics["rows"] == N_ROWS
+    dec = decode_dataset(spark, outdir)
+    assert dec.count() == N_ROWS
+    assert _mismatches(webpages, dec) == 0

@@ -160,6 +160,12 @@ class EncodeJobConfig:
     # tag is already committed, and a torn attempt's fragments carry an
     # uncommitted run_id, so decode never sees duplicates.
     batch_tag: str = ""
+    # "parquet": the input argument is a directory; work items come from
+    # driver-side footer scans.  "iceberg": the input argument is a
+    # catalog table name; work items come from the table's own manifests
+    # (``<table>.files`` metadata table) as whole-file items whose row
+    # groups the tasks expand themselves.
+    input_format: str = "parquet"
 
     def __post_init__(self):
         if not self.run_id:
@@ -188,6 +194,7 @@ class EncodeJobConfig:
             run_id=env.get("UPES_ENCODE_RUN_ID", ""),
             chunk_rows=int(env.get("UPES_ENCODE_CHUNK_ROWS", 32768)),
             map_tasks=int(map_tasks) if map_tasks else None,
+            input_format=env.get("UPES_ENCODE_INPUT_FORMAT", "parquet"),
         )
 
 
@@ -276,6 +283,43 @@ def _parquet_work_items(input_dir: str) -> tuple[list[tuple[str, int]], int]:
     return items, total_rows
 
 
+def _iceberg_work_items(spark, table: str) -> tuple[list[tuple[str, int]], int]:
+    """Work-list + row count from an Iceberg table's own manifests via its
+    ``<table>.files`` metadata table — no directory listing and no
+    driver-side footer scan.  Each item is ``(file_path, -1)``; the map
+    task expands ``-1`` to the file's row groups itself (footers are read
+    where the data is — the Iceberg split-planning shape).  Requires an
+    Iceberg catalog configured on the session (``spark.sql.catalog.*``);
+    the sandbox has none, so this branch is exercised by a mock of the
+    metadata-table query (``tests/test_pipeline.py``), the same way the
+    JDBC reader is tested without a database."""
+    files = spark.sql(
+        f"SELECT file_path, record_count FROM {table}.files"
+    ).collect()
+    items = [(r.file_path, -1) for r in files]
+    total_rows = int(sum(r.record_count for r in files))
+    return items, total_rows
+
+
+def _parquet_file(path: str):
+    """pyarrow ParquetFile for a plain path or a filesystem URI (Iceberg
+    manifests store fully-qualified URIs)."""
+    import pyarrow.parquet as pq
+
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        f, p = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(f.open_input_file(p))
+    return pq.ParquetFile(path)
+
+
+def _expand_row_groups(pf, rg: int):
+    """A work item's row-group field: an explicit row group, or -1 for
+    'every row group in the file' (Iceberg-manifest items)."""
+    return range(pf.metadata.num_row_groups) if rg < 0 else (rg,)
+
+
 def load_or_build_plan_parquet(
     spark, items: list[tuple[str, int]], total_rows: int, cfg: EncodeJobConfig
 ) -> EncodePlan:
@@ -300,8 +344,8 @@ def load_or_build_plan_parquet(
 
         for batch in iterator:
             for path, rg in zip(batch.column("path").to_pylist(), batch.column("rg").to_pylist()):
-                tbl = pq.ParquetFile(path).read_row_group(
-                    rg, columns=[key_col] + size_cols, use_threads=False
+                tbl = _parquet_file(path).read_row_group(
+                    max(rg, 0), columns=[key_col] + size_cols, use_threads=False
                 )
                 stride = max(1, tbl.num_rows // per_item)
                 tbl = tbl.take(pa.array(range(0, tbl.num_rows, stride)))
@@ -523,12 +567,17 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     the only Arrow-IPC traffic is the encoded fragments (~5x smaller).
     This is the scan topology a 1000-executor job wants — column chunks
     stream from storage straight into the encode kernels — and it is what
-    `bench.py` measures."""
-    import pyarrow.parquet as pq
+    `bench.py` measures.
 
-    items, total_rows = _parquet_work_items(input_dir)
+    With ``cfg.input_format == "iceberg"``, ``input_dir`` is a catalog
+    table name and the work-list comes from the table's manifests
+    (:func:`_iceberg_work_items`) instead of a directory scan."""
+    if cfg.input_format == "iceberg":
+        items, total_rows = _iceberg_work_items(spark, input_dir)
+    else:
+        items, total_rows = _parquet_work_items(input_dir)
     if not items:
-        raise ValueError(f"no parquet files under {input_dir}")
+        raise ValueError(f"no parquet input in {input_dir}")
     plan = load_or_build_plan_parquet(spark, items, total_rows, cfg)
     done = completed_units(spark, cfg.output_dir) if cfg.skip_completed else set()
 
@@ -547,10 +596,11 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
                 paths = batch.column("path").to_pylist()
                 rgs = batch.column("rg").to_pylist()
                 for path, rg in zip(paths, rgs):
-                    pf = pq.ParquetFile(path)
-                    tbl = pf.read_row_group(rg, use_threads=False)
-                    tbl = _timestamps_to_us(tbl)
-                    yield from tbl.to_batches(max_chunksize=batch_rows)
+                    pf = _parquet_file(path)
+                    for g in _expand_row_groups(pf, rg):
+                        tbl = pf.read_row_group(g, use_threads=False)
+                        tbl = _timestamps_to_us(tbl)
+                        yield from tbl.to_batches(max_chunksize=batch_rows)
 
         yield from _encode_stream(batches(), plan_local, done_local, key_col, payload_dir, chunk_rows)
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 PAIR_SCHEMA = "id_a long, id_b long, sim double"
 TOPK_SCHEMA = "query_id long, neighbor_id long, sim double"
 BUCKET_SCHEMA = "id long, bucket long"
+MULTI_BUCKET_SCHEMA = "id long, tbl int, bucket long"
 ASSIGN_SCHEMA = "id long, list_id long"
 
 
@@ -184,6 +185,53 @@ def srp_buckets(
 
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInArrow(
         bucketize, BUCKET_SCHEMA
+    )
+
+
+def srp_buckets_multi(
+    df: DataFrame,
+    planes: DataFrame,
+    n_tables: int = 4,
+    planes_per_table: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP bucketing: ``n_tables`` independent hash tables of
+    ``planes_per_table`` hyperplanes each — the standard LSH recall
+    lever (a single table splits ~half of all true near-neighbor pairs
+    per plane; with L tables a pair is a candidate if it collides in ANY
+    table, so the miss probability decays exponentially in L —
+    measured here: recall@1 0.05 with one 6-plane table vs >=0.9 with
+    4x3, `tests/test_ann_recall.py`).  Emits (id, tbl, bucket); one
+    matmul against all ``n_tables*planes_per_table`` hyperplanes, rows
+    exploded n_tables-fold — still one narrow no-shuffle pass."""
+    n_planes = n_tables * planes_per_table
+    p = planes.select(F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pv")).filter(
+        F.col("plane_id") < n_planes
+    )
+    _, p_mat = _collect_matrix(p, "plane_id", "pv")
+    weights = (2 ** np.arange(planes_per_table, dtype=np.int64)).astype(np.int64)
+
+    def bucketize(iterator):
+        for batch in iterator:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            m = _list_matrix(batch.column(1))
+            if m.size == 0:
+                continue
+            bits = (m @ p_mat.T) > 0  # (n, n_planes), plane t*ppt+j -> table t bit j
+            out_id = np.repeat(ids, n_tables)
+            out_tbl = np.tile(np.arange(n_tables, dtype=np.int32), len(ids))
+            bucket_cols = [
+                bits[:, t * planes_per_table : (t + 1) * planes_per_table] @ weights
+                for t in range(n_tables)
+            ]
+            out_bucket = np.stack(bucket_cols, axis=1).reshape(-1)
+            yield pa.RecordBatch.from_pydict(
+                {"id": out_id, "tbl": out_tbl, "bucket": out_bucket.astype(np.int64)}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInArrow(
+        bucketize, MULTI_BUCKET_SCHEMA
     )
 
 
@@ -365,10 +413,15 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (signed-random-projection) ANN: top-1 neighbor per query among
-    same-bucket candidates.  Scale path of :func:`q_embed_topk` — the only
-    shuffle is on bucket ids, and the rerank is a per-bucket matmul."""
+    candidates that collide in ANY of 8 independent 3-plane hash tables
+    (:func:`srp_buckets_multi` — one 6-plane table recalled only 0.05 of
+    exact top-1 neighbors; 8x3 measures 0.95, `tests/test_ann_recall.py`).
+    Scale path of :func:`q_embed_topk` — the only shuffle is on
+    (table, bucket), and the rerank is a per-bucket matmul; a candidate
+    pair colliding in several tables just yields duplicate local winners
+    that the final exact top-1 window collapses."""
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = srp_buckets(emb, planes=emb, n_planes=6)
+    buckets = srp_buckets_multi(emb, planes=emb, n_tables=8, planes_per_table=3)
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")).join(
         buckets, "id"
     )
@@ -378,7 +431,7 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = vecs.withColumn("is_q", F.lit(0)).unionByName(
         tagged.filter(F.col("is_q") == 1)
     )
-    local = both.groupBy("bucket").applyInPandas(_bucket_topk_kernel(1), TOPK_SCHEMA)
+    local = both.groupBy("tbl", "bucket").applyInPandas(_bucket_topk_kernel(1), TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         local.withColumn("rk", F.row_number().over(w))

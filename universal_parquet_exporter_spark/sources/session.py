@@ -21,9 +21,13 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
     jvm_headroom: bool = False,
+    master: str | None = None,
 ) -> SparkSession:
     """Build a local[n] session; on a real cluster the same confs apply and
     ``master`` is supplied by spark-submit (BASELINE.md launch mode).
+    An explicit ``master`` overrides the default ``local[n]`` — e.g.
+    ``local-cluster[4,2,6144]`` for separate-executor-JVM topology (the
+    shape bench.py's scaling pair uses).
 
     ``jvm_headroom=True`` reserves 1/8 of ``cpus`` (min 1 at >= 8 cores)
     for the executor JVM's own threads (GC, netty, task dispatch) — the
@@ -77,7 +81,9 @@ def build_session(
             "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
         )
     )
-    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{task_slots}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
