@@ -181,6 +181,7 @@ def _run_scale_leg_subprocess(
     label: str,
     n_samples: int,
     with_decode: bool,
+    warm_real: bool = False,
 ) -> dict:
     """Run one scaling rep in a fresh pinned subprocess and parse its
     LEGJSON result line."""
@@ -193,6 +194,8 @@ def _run_scale_leg_subprocess(
     ]
     if with_decode:
         cmd.append("--decode")
+    if warm_real:
+        cmd.append("--warm-real")
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in proc.stdout.splitlines():
         if line.startswith("LEGJSON "):
@@ -201,6 +204,27 @@ def _run_scale_leg_subprocess(
         f"scale leg {label} produced no result (rc={proc.returncode}): "
         f"{proc.stderr[-2000:]}"
     )
+
+
+def gen_fixture_main(argv: list[str]) -> None:
+    """Subprocess entry: generate the webpages fixtures and exit, so the
+    bench parent never owns a JVM before the scaling legs run (a parent
+    that has run a 32-core session measurably depresses subsequent
+    pinned Spark legs on this kernel even after spark.stop())."""
+    scale_rows, n_files = int(argv[0]), int(argv[1])
+    input_parquet, warm_parquet = argv[2], argv[3]
+    from universal_parquet_exporter_spark.fixtures import generate_webpages
+
+    spark = build_session(app_name="upes-bench-gen", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_webpages(spark, scale_rows, partitions=n_files).write.mode("overwrite").parquet(
+        input_parquet
+    )
+    generate_webpages(spark, max(scale_rows // 16, 5000), partitions=8).write.mode(
+        "overwrite"
+    ).parquet(warm_parquet)
+    spark.stop()
+    print("GENOK")
 
 
 def scale_leg_main(argv: list[str]) -> None:
@@ -224,6 +248,12 @@ def scale_leg_main(argv: list[str]) -> None:
     label = argv[6]
     n_samples = int(argv[7])
     with_decode = "--decode" in argv[8:]
+    # headline (disk-payload) legs warm on the REAL input: the first
+    # encode over a cold input pays page-cache fill + payload writeback
+    # setup that depressed its sample ~5x (measured 0.13 vs 0.64); the
+    # tmpfs scaling legs show no such cold-first effect (their mp control
+    # already faulted the input) and skip the extra pass
+    warm_real = "--warm-real" in argv[8:]
     sys.path.insert(0, os.path.join(REPO_DIR, "BENCH"))
     import mp_control
 
@@ -283,6 +313,9 @@ def scale_leg_main(argv: list[str]) -> None:
     warm_workers(spark, slots)
     warm = encode_bench(spark, warm_parquet, workdir, f"warm_{label}", map_tasks=min(n_map, 8))
     shutil.rmtree(warm["output_dir"], ignore_errors=True)
+    if warm_real:
+        warm = encode_bench(spark, input_parquet, workdir, f"warmreal_{label}", map_tasks=n_map)
+        shutil.rmtree(warm["output_dir"], ignore_errors=True)
     best = None
     samples = []
     caps = []
@@ -340,55 +373,78 @@ def main() -> None:
     }
     total_t0 = time.perf_counter()
     try:
-        spark = build_session(app_name="upes-bench", cpus=CPUS, shuffle_partitions=CPUS)
-        spark.sparkContext.setLogLevel("ERROR")
-        warm_workers(spark, CPUS)
-
-        # 1. driver-contract queries (noop-sink timed — see module doc)
-        queries = run_queries(spark, SF_DIR)
-
-        # 2. the deterministic webpages fixture, generated once (excluded
-        # from all timings).  4× the query-suite row count so the timed
-        # encodes are long enough to dominate per-job fixed costs (the N
-        # scaling leg runs ~40 s, the 4N leg ~10 s, the 32-core headline
+        # 1. the deterministic webpages fixture, generated in a SUBPROCESS
+        # (this parent must not own a JVM before the scaling legs — a
+        # parent that has run a 32-core session measurably depresses later
+        # pinned Spark legs on this kernel, even stopped).  4× the
+        # query-suite row count so the timed encodes dominate per-job
+        # fixed costs (N scaling leg ~40 s, 4N ~10 s, 32-core headline
         # ~6 s).  224 files = a multiple of both task layouts (56 headline
         # tasks × 4 files, 16 scaling tasks × 14 files).
-        from universal_parquet_exporter_spark.fixtures import generate_webpages
+        import subprocess
 
         scale_rows = 4 * n_rows
         n_files = 224
         input_parquet = os.path.join(workdir, "webpages_in")
-        generate_webpages(spark, scale_rows, partitions=n_files).write.mode("overwrite").parquet(
-            input_parquet
-        )
-        # small warm fixture: each leg subprocess warms its fresh JVM /
-        # workers / codegen on this before its timed rep
         warm_parquet = os.path.join(workdir, "webpages_warm")
-        generate_webpages(spark, max(scale_rows // 16, 5000), partitions=8).write.mode(
-            "overwrite"
-        ).parquet(warm_parquet)
-
-        # control: reference encode path = parquet/snappy (A8,
-        # /root/reference/src/export/parquet_writer.py:17)
-        control_dir = os.path.join(workdir, "control")
-        c0 = time.perf_counter()
-        spark.read.parquet(input_parquet).write.mode("overwrite").parquet(control_dir)
-        control_wall = time.perf_counter() - c0
-        control_bytes = sum(
-            os.path.getsize(os.path.join(control_dir, f))
-            for f in os.listdir(control_dir)
-            if f.endswith(".parquet")
+        gen = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-fixture",
+             str(scale_rows), str(n_files), input_parquet, warm_parquet],
+            capture_output=True, text=True, timeout=900,
         )
-
-        spark.stop()
+        if "GENOK" not in gen.stdout:
+            raise RuntimeError(f"fixture generation failed: {gen.stderr[-2000:]}")
 
         skip_scaling = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"))
-        os.sync()  # drain fixture/control writeback before any timed leg
+        os.sync()  # drain fixture writeback before any timed leg
 
-        # 3. headline encode figure at all CPUS cores (local[n] pinned
+        # 2. scaling pair FIRST, from a JVM-free parent with a page cache
+        # holding only the fixture: N=1 vs 4N=4 executors, local-cluster
+        # separate JVMs, payload on tmpfs (per-node storage emulation —
+        # see module doc).  Rep order [N,4N] twice — never the same leg
+        # back-to-back (throughput decays across back-to-back runs while
+        # capacity stays flat).  The 4N leg warms on the real input and
+        # contributes 4 samples (its first cold sample ran ~10-15% low);
+        # the N leg shows no cold-first effect and its samples are ±5%.
+        scaling = {}
+        if not skip_scaling:
+            shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else workdir
+            shm_work = tempfile.mkdtemp(prefix="upes_scalebench_", dir=shm_base)
+            try:
+                levels = [SCALE_EXEC_N, SCALE_EXEC_4N]
+                # 4 samples per leg: a median of 4 cannot be dragged
+                # below the middle pair by one catastrophic sample (the
+                # host occasionally hands a leg a ~2x-slow window)
+                samples_per_rep = {SCALE_EXEC_N: (2, 2), SCALE_EXEC_4N: (2, 2)}
+                rep_results: dict[int, list] = {c: [] for c in levels}
+                for r in range(2):
+                    for n_exec in levels:
+                        rep = _run_scale_leg_subprocess(
+                            "lc", n_exec, input_parquet, warm_parquet, shm_work,
+                            SCALE_N_MAP, f"r{r}x{n_exec}",
+                            n_samples=samples_per_rep[n_exec][r],
+                            with_decode=False,
+                            warm_real=(n_exec == SCALE_EXEC_4N),
+                        )
+                        rep_results[n_exec].append(rep)
+                        os.sync()
+                runs = {c: _leg_summary(rep_results[c]) for c in levels}
+            finally:
+                shutil.rmtree(shm_work, ignore_errors=True)
+
+        # 3. driver-contract queries (noop-sink timed — see module doc)
+        spark = build_session(app_name="upes-bench", cpus=CPUS, shuffle_partitions=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        warm_workers(spark, CPUS)
+        queries = run_queries(spark, SF_DIR)
+        spark.stop()
+        os.sync()
+
+        # 4. headline encode figure at all CPUS cores (local[n] pinned
         # subprocess, round-2 protocol, payload on the same disk as the
         # parquet control so size/throughput are apples-to-apples):
-        # 2 subprocesses × 2 timed samples, decode check in the first.
+        # 2 subprocesses × (real-input warm pass + 2 timed samples),
+        # decode check in the first.
         slots32 = CPUS - max(1, CPUS // 8) if CPUS >= 8 else CPUS
         n_map_headline = min(224, max(2 * slots32, 8))
         while 224 % n_map_headline:
@@ -399,6 +455,7 @@ def main() -> None:
                 _run_scale_leg_subprocess(
                     "local", CPUS, input_parquet, warm_parquet, workdir,
                     n_map_headline, f"head_r{r}", n_samples=2, with_decode=(r == 0),
+                    warm_real=True,
                 )
             )
             os.sync()
@@ -409,34 +466,29 @@ def main() -> None:
         )
         enc.pop("decode_rows", None)
         enc["n_map"] = n_map_headline
+
+        # 5. control last (it writes ~GBs to the shared disk): reference
+        # encode path = parquet/snappy (A8,
+        # /root/reference/src/export/parquet_writer.py:17), measured in
+        # its own synced window so fixture writeback isn't charged to it
+        spark = build_session(app_name="upes-bench-ctl", cpus=CPUS, shuffle_partitions=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        control_dir = os.path.join(workdir, "control")
+        os.sync()
+        c0 = time.perf_counter()
+        spark.read.parquet(input_parquet).write.mode("overwrite").parquet(control_dir)
+        control_wall = time.perf_counter() - c0
+        control_bytes = sum(
+            os.path.getsize(os.path.join(control_dir, f))
+            for f in os.listdir(control_dir)
+            if f.endswith(".parquet")
+        )
+        spark.stop()
         enc["control_bytes"] = control_bytes
         enc["control_wall_sec"] = round(control_wall, 3)
         enc["size_vs_control"] = round(enc["bytes_out"] / control_bytes, 4)
 
-        # 4. scaling pair: N=1 vs 4N=4 executors, local-cluster separate
-        # JVMs, payload on tmpfs (per-node storage emulation — see module
-        # doc).  Interleaved rep order; 3 samples per leg (2+1).
-        scaling = {}
         if not skip_scaling:
-            shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else workdir
-            shm_work = tempfile.mkdtemp(prefix="upes_scalebench_", dir=shm_base)
-            try:
-                levels = [SCALE_EXEC_N, SCALE_EXEC_4N]
-                rep_results: dict[int, list] = {c: [] for c in levels}
-                for r, n_samp in enumerate((2, 1)):
-                    order = levels if r % 2 == 0 else list(reversed(levels))
-                    for n_exec in order:
-                        rep = _run_scale_leg_subprocess(
-                            "lc", n_exec, input_parquet, warm_parquet, shm_work,
-                            SCALE_N_MAP, f"r{r}x{n_exec}", n_samples=n_samp,
-                            with_decode=False,
-                        )
-                        rep_results[n_exec].append(rep)
-                        os.sync()
-                runs = {c: _leg_summary(rep_results[c]) for c in levels}
-            finally:
-                shutil.rmtree(shm_work, ignore_errors=True)
-
             lo, hi = runs[SCALE_EXEC_N], runs[SCALE_EXEC_4N]
             factor = SCALE_EXEC_4N / SCALE_EXEC_N
             scaling = {
@@ -514,5 +566,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-leg":
         scale_leg_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gen-fixture":
+        gen_fixture_main(sys.argv[2:])
     else:
         main()
