@@ -20,8 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip as _q_encode_roundtrip,
 )
+from universal_parquet_exporter_spark.encode.maintenance import (
+    q_vacuum_roundtrip as _q_vacuum_roundtrip,
+)
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
+    q_encode_roundtrip_pruned as _q_encode_roundtrip_pruned,
 )
 from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
 
@@ -84,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the encode engine itself, oracle-checked end-to-end ---
         "encode_roundtrip": _q_encode_roundtrip,
         "encode_roundtrip_embeddings": _q_encode_roundtrip_embeddings,
+        "encode_roundtrip_pruned": _q_encode_roundtrip_pruned,
+        "vacuum_roundtrip": _q_vacuum_roundtrip,
     }
 
 
@@ -448,6 +456,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the engine round trip must reproduce the source table exactly
         "encode_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # column-pruned decode: only the requested columns, still exact
+        "encode_roundtrip_pruned": "SELECT doc_id, lang FROM documents",
+        # decode after a vacuum sweep of a simulated torn run must still
+        # reproduce the source exactly (the sweep touches only dead data)
+        "vacuum_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # nested array<float> columns through the same engine, bit-identical

@@ -856,6 +856,29 @@ def q_encode_roundtrip(spark, sf_dir: str):
     )
 
 
+def q_encode_roundtrip_pruned(spark, sf_dir: str):
+    """Driver-contract query: encode the documents table, then decode
+    ONLY (doc_id, lang) — the container skips the text column's buffers
+    by their recorded lengths without decompressing them
+    (:func:`..container.deserialize_chunk`).  The oracle is a plain
+    two-column SELECT, so the driver's value hash certifies that pruned
+    decode is exact, not just non-crashing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_rtq_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=4 << 20
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    dec = decode_dataset(spark, out, columns=["doc_id", "lang"])
+    return dec.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir: str):
     """Driver-contract query: round-trip the ``embeddings`` table —
     ``array<float>`` vectors plus int ids — through the REAL engine,
