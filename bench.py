@@ -160,6 +160,42 @@ def _find_pids(pattern: str) -> list[int]:
     return out
 
 
+def _pin_cluster_jvms(n_exec: int, exec_cores: set, driver_cores: set, timeout_sec: float = 20.0) -> None:
+    """Pin each local-cluster JVM to its role's cores: executor JVMs (and
+    the Python workers they fork) to the executor cores, the driver JVM
+    (which also hosts the master/worker RPC envs) to the driver cores —
+    a real cluster's driver node is separate hardware.  Executor
+    registration is asynchronous, so wait until all n_exec executor
+    processes exist (bounded); pin failures on a vanished pid skip that
+    pid only."""
+    me = os.getpid()
+    deadline = time.time() + timeout_sec
+    execs: list[int] = []
+    while time.time() < deadline:
+        drv = [p for p in _find_pids("org.apache.spark.deploy.SparkSubmit") if p != me]
+        execs = [
+            p for p in _find_pids("CoarseGrainedExecutorBackend")
+            if p not in drv and p != me
+        ]
+        if len(execs) >= n_exec:
+            break
+        time.sleep(0.25)
+    for p in execs:
+        try:
+            os.sched_setaffinity(p, exec_cores)
+        except OSError:
+            pass
+    for p in drv:
+        try:
+            os.sched_setaffinity(p, driver_cores)
+        except OSError:
+            pass
+    try:
+        os.sched_setaffinity(me, driver_cores)
+    except OSError:
+        pass
+
+
 def _preread(input_parquet: str) -> None:
     """Fault the input parquet into page cache so the first reader (the
     no-framework control) isn't charged for cold-disk reads the later
@@ -204,6 +240,19 @@ def _run_scale_leg_subprocess(
         f"scale leg {label} produced no result (rc={proc.returncode}): "
         f"{proc.stderr[-2000:]}"
     )
+
+
+def queries_main(argv: list[str]) -> None:
+    """Subprocess entry: run the driver-contract query suite and exit,
+    so the bench parent never owns a JVM before the headline legs (same
+    parent-depression effect the scaling legs avoid)."""
+    sf_dir = argv[0]
+    spark = build_session(app_name="upes-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, CPUS)
+    timings = run_queries(spark, sf_dir)
+    spark.stop()
+    print("QJSON " + json.dumps(timings))
 
 
 def gen_fixture_main(argv: list[str]) -> None:
@@ -289,28 +338,18 @@ def scale_leg_main(argv: list[str]) -> None:
                 "spark.executorEnv.PYTHONPATH": REPO_DIR,
             },
         )
-        # pin each JVM to its role's cores: executors (and the Python
-        # workers they fork) to the executor cores, the driver JVM (which
-        # also hosts the local-cluster master/worker RPC envs) to the
-        # driver cores — a real cluster's driver node is separate hardware
-        me = os.getpid()
-        drv = [p for p in _find_pids("org.apache.spark.deploy.SparkSubmit") if p != me]
-        execs = [
-            p for p in _find_pids("CoarseGrainedExecutorBackend")
-            if p not in drv and p != me
-        ]
-        try:
-            for p in execs:
-                os.sched_setaffinity(p, exec_cores)
-            for p in drv:
-                os.sched_setaffinity(p, driver_cores)
-            os.sched_setaffinity(me, driver_cores)
-        except OSError:
-            pass
+        _pin_cluster_jvms(n_exec, exec_cores, driver_cores)
     else:
         spark = build_session(app_name=f"upes-scale-{label}", cpus=n_exec, jvm_headroom=True)
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, slots)
+    if mode == "lc":
+        # re-pin after the first job: executor registration is
+        # asynchronous, so a late-spawning executor JVM could have missed
+        # the post-session pin — by now every executor has run tasks and
+        # must exist (its Python daemon, forked at first task, inherits
+        # the executor pin)
+        _pin_cluster_jvms(n_exec, exec_cores, driver_cores)
     warm = encode_bench(spark, warm_parquet, workdir, f"warm_{label}", map_tasks=min(n_map, 8))
     shutil.rmtree(warm["output_dir"], ignore_errors=True)
     if warm_real:
@@ -321,7 +360,20 @@ def scale_leg_main(argv: list[str]) -> None:
     caps = []
     for i in range(n_samples):
         os.sync()
+        # probe the cores the timed work actually runs on: in lc mode
+        # this process sits on the driver cores, so hop onto the executor
+        # cores for the probe (forked burn children inherit) and back
+        if mode == "lc":
+            try:
+                os.sched_setaffinity(0, exec_cores)
+            except OSError:
+                pass
         cap = host_capacity(slots)
+        if mode == "lc":
+            try:
+                os.sched_setaffinity(0, driver_cores)
+            except OSError:
+                pass
         m = encode_bench(spark, input_parquet, workdir, f"{label}_{i}", map_tasks=n_map)
         m["host_capacity"] = round(cap, 1)
         samples.append(m["gbps"])
@@ -412,17 +464,17 @@ def main() -> None:
             shm_work = tempfile.mkdtemp(prefix="upes_scalebench_", dir=shm_base)
             try:
                 levels = [SCALE_EXEC_N, SCALE_EXEC_4N]
-                # 4 samples per leg: a median of 4 cannot be dragged
-                # below the middle pair by one catastrophic sample (the
-                # host occasionally hands a leg a ~2x-slow window)
-                samples_per_rep = {SCALE_EXEC_N: (2, 2), SCALE_EXEC_4N: (2, 2)}
+                # 2 subprocesses × 2 timed samples per leg: a median of 4
+                # cannot be dragged below the middle pair by one
+                # catastrophic sample (the host occasionally hands a leg
+                # a ~2x-slow window)
                 rep_results: dict[int, list] = {c: [] for c in levels}
                 for r in range(2):
                     for n_exec in levels:
                         rep = _run_scale_leg_subprocess(
                             "lc", n_exec, input_parquet, warm_parquet, shm_work,
                             SCALE_N_MAP, f"r{r}x{n_exec}",
-                            n_samples=samples_per_rep[n_exec][r],
+                            n_samples=2,
                             with_decode=False,
                             warm_real=(n_exec == SCALE_EXEC_4N),
                         )
@@ -432,12 +484,19 @@ def main() -> None:
             finally:
                 shutil.rmtree(shm_work, ignore_errors=True)
 
-        # 3. driver-contract queries (noop-sink timed — see module doc)
-        spark = build_session(app_name="upes-bench", cpus=CPUS, shuffle_partitions=CPUS)
-        spark.sparkContext.setLogLevel("ERROR")
-        warm_workers(spark, CPUS)
-        queries = run_queries(spark, SF_DIR)
-        spark.stop()
+        # 3. driver-contract queries (noop-sink timed — see module doc),
+        # in a subprocess so the parent stays JVM-free for the headline
+        # legs too
+        qproc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries", SF_DIR],
+            capture_output=True, text=True, timeout=1200,
+        )
+        queries = None
+        for line in qproc.stdout.splitlines():
+            if line.startswith("QJSON "):
+                queries = json.loads(line[len("QJSON "):])
+        if queries is None:
+            raise RuntimeError(f"query suite failed: {qproc.stderr[-2000:]}")
         os.sync()
 
         # 4. headline encode figure at all CPUS cores (local[n] pinned
@@ -568,5 +627,7 @@ if __name__ == "__main__":
         scale_leg_main(sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--gen-fixture":
         gen_fixture_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--queries":
+        queries_main(sys.argv[2:])
     else:
         main()

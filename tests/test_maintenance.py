@@ -135,3 +135,51 @@ def test_vacuum_uri_output_dir(spark, webpages, outdir):
     assert rep["deleted_files"] > 0
     assert rep["orphan_manifest_rows"] > 0 and rep["manifest_rewritten"] is True
     assert decode_dataset(spark, uri).count() == N_ROWS
+
+
+def test_vacuum_horizon_spares_young_orphan_rows(spark, webpages, outdir):
+    """An in-flight run that committed its manifest but not yet its
+    lineage is a YOUNG orphan: a horizoned sweep must leave its manifest
+    rows (and payload files) alone — dropping them would lose the data
+    it is about to commit.  Once the part files age past the horizon the
+    same rows are compacted."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    data_dir = os.path.join(outdir, "data")
+    before = set(os.listdir(data_dir))
+    dead_names = _crash_after_manifest_commit(spark, webpages, outdir)
+    new_parts = set(os.listdir(data_dir)) - before
+
+    rep = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep["orphan_manifest_rows"] == 0 and rep["manifest_rewritten"] is False
+    assert rep["deleted_files"] == 0  # the torn run's payload is young too
+    surviving = set(os.listdir(os.path.join(outdir, "payload")))
+    assert dead_names <= surviving
+
+    past = time.time() - 7200
+    for f in new_parts:
+        os.utime(os.path.join(data_dir, f), (past, past))
+    for f in dead_names:
+        os.utime(os.path.join(outdir, "payload", f), (past, past))
+    rep2 = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep2["orphan_manifest_rows"] > 0 and rep2["manifest_rewritten"] is True
+    assert rep2["deleted_files"] == len(dead_names)
+    assert decode_dataset(spark, outdir).count() == N_ROWS
+
+
+def test_vacuum_heals_interrupted_swap(spark, webpages, outdir):
+    """A vacuum killed between the two swap renames leaves data/ missing
+    and data.vacuum_old behind; the next vacuum must roll it back before
+    sweeping, and decode must be intact."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    data_dir = os.path.join(outdir, "data")
+    os.rename(data_dir, data_dir + ".vacuum_old")
+    os.makedirs(data_dir + ".vacuum_tmp")  # half-written rewrite output
+
+    rep = vacuum(spark, outdir)
+    assert os.path.isdir(data_dir)
+    assert not os.path.exists(data_dir + ".vacuum_old")
+    assert not os.path.exists(data_dir + ".vacuum_tmp")
+    assert rep["orphan_manifest_rows"] == 0
+    assert decode_dataset(spark, outdir).count() == N_ROWS

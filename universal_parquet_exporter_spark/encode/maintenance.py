@@ -91,6 +91,38 @@ def _delete_files(payload_dir: str, names: list[str], spark=None) -> None:
             pass
 
 
+def _heal_interrupted_swap(data_dir: str) -> None:
+    """Recover from a vacuum killed mid-swap.  States the two-rename
+    swap can leave: (a) crash between the renames — ``data/`` missing,
+    ``data.vacuum_old`` present: roll the old dir back; (b) crash before
+    the first rename or after the second — stray ``.vacuum_tmp`` /
+    ``.vacuum_old`` beside an intact ``data/``: delete the strays.
+    Idempotent; called at every vacuum start."""
+    import shutil
+
+    fs, d = _payload_fs(data_dir)
+    old, tmp = d + ".vacuum_old", d + ".vacuum_tmp"
+    if fs is None:
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+        if os.path.isdir(d):
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        from pyarrow.fs import FileType
+
+        d_t = fs.get_file_info(d).type
+        old_t = fs.get_file_info(old).type
+        if d_t == FileType.NotFound and old_t == FileType.Directory:
+            fs.move(old, d)
+            old_t = FileType.NotFound
+        if fs.get_file_info(d).type == FileType.Directory:
+            if old_t == FileType.Directory:
+                fs.delete_dir(old)
+            if fs.get_file_info(tmp).type == FileType.Directory:
+                fs.delete_dir(tmp)
+
+
 def vacuum(
     spark,
     output_dir: str,
@@ -103,12 +135,20 @@ def vacuum(
     committed manifest row, and (optionally) compact orphan manifest rows
     out of ``data/``.
 
-    ``older_than_sec`` is the safety horizon: only files/rows older than
-    this are touched, so an in-flight job's uncommitted writes survive.
-    ``rewrite_manifest`` rewrites ``data/`` without orphan rows via a
-    temp-dir + rename swap — atomic on rename-capable filesystems
-    (POSIX/HDFS); on object stores leave it False and let orphan rows age
-    out as scan noise.  ``dry_run`` reports without deleting.
+    ``older_than_sec`` is the safety horizon applied to BOTH sweeps:
+    payload files younger than it survive, and orphan manifest rows are
+    only compacted out when the manifest part-file holding them is older
+    than it — an in-flight run that has committed its manifest but not
+    yet its lineage is exactly a young orphan, and dropping its rows
+    would lose data it is about to commit.  ``rewrite_manifest``
+    rewrites ``data/`` without the old-enough orphan rows via a
+    temp-dir + two-rename swap; the swap is crash-RECOVERABLE, not
+    atomic (vacuum heals an interrupted swap on its next run, and
+    ``_heal_interrupted_swap`` can be called directly), and a reader
+    racing the swap window can momentarily see a missing dir — run the
+    rewrite in a maintenance window, or leave it False on object stores
+    and let orphan rows age out as scan noise.  ``dry_run`` reports
+    without deleting.
 
     Returns counts + reclaimed bytes; decode results are unchanged by
     construction (only never-read data is touched — pytest-gated by a
@@ -119,31 +159,53 @@ def vacuum(
     lineage_dir = os.path.join(output_dir, "lineage")
     payload_dir = os.path.join(output_dir, "payload")
     now = time.time()
+    _heal_interrupted_swap(data_dir)
 
     committed = (
         spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit", "run_id")
     )
-    manifest = spark.read.parquet(data_dir)
-    live = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
-    live_files = {r.file for r in live.select("file").distinct().collect()}
+    # per-part-file mtimes give orphan rows their age (each manifest
+    # append writes fresh part files, so file mtime ≈ that run's commit
+    # time); rows in young part files are NEVER treated as orphans
+    part_mtimes = {name: m for name, _sz, m in _list_payload_files(data_dir)}
+    old_parts = {n for n, m in part_mtimes.items() if (now - m) >= older_than_sec}
+    manifest = spark.read.parquet(data_dir).withColumn(
+        "__part", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    base_cols = [c for c in manifest.columns if c != "__part"]
+    uncommitted = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_anti")
+    is_old_part = F.col("__part").isin(list(old_parts) or [""])
+    # the anti-join moves its key columns first; re-project to the
+    # manifest's column order so exceptAll aligns positionally
+    orphans = uncommitted.where(is_old_part).select(*base_cols)
+    young_uncommitted = uncommitted.where(~is_old_part)
+    live = manifest.select(*base_cols).exceptAll(orphans)
+
+    # payload liveness: referenced by a committed row OR by any
+    # uncommitted-but-young row (an in-flight run's files) — plus the
+    # payload file's own mtime horizon, belt and braces
+    committed_rows = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
+    keep_files = {
+        r.file
+        for r in committed_rows.select("file")
+        .union(young_uncommitted.select("file"))
+        .distinct()
+        .collect()
+    }
 
     listed = _list_payload_files(payload_dir)
     dead = [
         (name, size)
         for name, size, mtime in listed
-        if name not in live_files and (now - mtime) >= older_than_sec
+        if name not in keep_files and (now - mtime) >= older_than_sec
     ]
     reclaimed = sum(s for _, s in dead)
     if dead and not dry_run:
         _delete_files(payload_dir, [n for n, _ in dead], spark)
 
-    orphan_rows = int(
-        manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_anti").count()
-    )
+    orphan_rows = int(orphans.count())
     rewrote = False
     if orphan_rows and rewrite_manifest and not dry_run:
-        # temp-write + double-rename swap, the same commit discipline as
-        # plan.json: a reader never sees a half-written manifest dir
         tmp_dir = data_dir + ".vacuum_tmp"
         old_dir = data_dir + ".vacuum_old"
         live.write.mode("overwrite").parquet(tmp_dir)
@@ -163,21 +225,35 @@ def vacuum(
             fs.delete_dir(o)
         rewrote = True
 
-    # stale plan.json temp files from crashed planners
+    # stale plan.json temp files from crashed planners (both fs paths —
+    # the pyarrow.fs plan commit writes the same tmp names)
     stale_tmp = []
     fs, root = _payload_fs(output_dir)
-    if fs is None and os.path.isdir(root):
-        stale_tmp = [
-            f for f in os.listdir(root)
-            if f.startswith("plan.json.tmp") and (now - os.path.getmtime(os.path.join(root, f))) >= older_than_sec
-        ]
-        if not dry_run:
-            for f in stale_tmp:
-                os.unlink(os.path.join(root, f))
+    if fs is None:
+        if os.path.isdir(root):
+            stale_tmp = [
+                f for f in os.listdir(root)
+                if f.startswith("plan.json.tmp")
+                and (now - os.path.getmtime(os.path.join(root, f))) >= older_than_sec
+            ]
+            if not dry_run:
+                for f in stale_tmp:
+                    os.unlink(os.path.join(root, f))
+    else:
+        from pyarrow.fs import FileSelector, FileType
+
+        for info in fs.get_file_info(FileSelector(root, allow_not_found=True)):
+            if info.type != FileType.File or not info.base_name.startswith("plan.json.tmp"):
+                continue
+            mt = info.mtime.timestamp() if info.mtime is not None else 0.0
+            if (now - mt) >= older_than_sec:
+                stale_tmp.append(info.base_name)
+                if not dry_run:
+                    fs.delete_file(f"{root}/{info.base_name}")
 
     return {
         "payload_files": len(listed),
-        "live_files": len(live_files),
+        "live_files": len(keep_files),
         "deleted_files": len(dead),
         "reclaimed_bytes": int(reclaimed),
         "orphan_manifest_rows": orphan_rows,

@@ -394,6 +394,17 @@ def completed_batch_tags(spark, output_dir: str) -> set[str]:
     return {r.batch_tag for r in rows}
 
 
+def _resume_keep_mask(units: np.ndarray, done_local: np.ndarray) -> np.ndarray:
+    """True where ``units[i]`` is NOT in the (sorted) completed-unit
+    list.  Sorted searchsorted membership is O(n log m) with no hash
+    table rebuilt per batch, unlike ``np.isin`` — at 100 TB / 64 MB
+    units the done list is ~1.6 M ids and this runs once per batch."""
+    if not done_local.size:
+        return np.ones(len(units), dtype=bool)
+    pos = np.minimum(np.searchsorted(done_local, units), done_local.size - 1)
+    return done_local[pos] != units
+
+
 def _encode_stream(
     iterator,
     plan_local: EncodePlan,
@@ -416,12 +427,7 @@ def _encode_stream(
         units = assign_units_arrow(batch.column(key_col), plan_local)
         keys = _fixed_width(batch.column(key_col))
         if done_local.size:
-            # done_local arrives sorted (broadcast as sorted(done)):
-            # searchsorted membership is O(n log m) with no hash table
-            # rebuilt per batch, unlike np.isin — at 100 TB / 64 MB units
-            # the done list is ~1.6 M ids and this runs once per batch
-            pos = np.minimum(np.searchsorted(done_local, units), done_local.size - 1)
-            keep = done_local[pos] != units
+            keep = _resume_keep_mask(units, done_local)
             if not keep.all():
                 idx = np.flatnonzero(keep)
                 batch = batch.take(pa.array(idx))
