@@ -27,6 +27,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_key_range as _q_decode_key_range,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_pruned as _q_encode_roundtrip_pruned,
 )
 from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
@@ -91,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": _q_encode_roundtrip,
         "encode_roundtrip_embeddings": _q_encode_roundtrip_embeddings,
         "encode_roundtrip_pruned": _q_encode_roundtrip_pruned,
+        "decode_key_range": _q_decode_key_range,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
     }
 
@@ -460,6 +464,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         # column-pruned decode: only the requested columns, still exact
         "encode_roundtrip_pruned": "SELECT doc_id, lang FROM documents",
+        # key-range-pruned decode: unit pruning + residual filter ==
+        # a plain VARCHAR range predicate (bytewise string comparison)
+        "decode_key_range": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) >= '1' AND CAST(doc_id AS VARCHAR) <= '3'"
+        ),
         # decode after a vacuum sweep of a simulated torn run must still
         # reproduce the source exactly (the sweep touches only dead data)
         "vacuum_roundtrip": (

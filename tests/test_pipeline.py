@@ -300,3 +300,59 @@ def test_resume_membership_searchsorted_equivalence_and_speed():
     assert np.array_equal(keep_ss, keep_isin)
     # measured ~5-10x faster here; 10x slack absorbs scheduler noise
     assert t_ss < t_isin * 10, f"searchsorted {t_ss:.3f}s vs isin {t_isin:.3f}s"
+
+
+def test_units_for_key_range_superset_property():
+    """Every key inside [lo, hi] must be assigned to a unit the pruner
+    keeps (conservative-superset contract), including hash-salted hot
+    buckets and prefix-truncation edge cases."""
+    from universal_parquet_exporter_spark.plans.partitioning import (
+        EncodePlan,
+        units_for_key_range,
+    )
+
+    plan = EncodePlan("url", ["f", "m", "s"], [1, 3, 1, 2])
+    rng = np.random.default_rng(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    keys = np.array(
+        ["".join(rng.choice(list(alphabet), size=rng.integers(1, 60))) for _ in range(500)],
+        dtype=object,
+    )
+    units = assign_units(keys, plan)
+    for lo, hi in [("c", "p"), ("a", "a"), ("m", "m"), (None, "g"), ("t", None), (None, None)]:
+        kept = set(units_for_key_range(plan, lo, hi))
+        in_range = [
+            i for i, k in enumerate(keys)
+            if (lo is None or k >= lo) and (hi is None or k <= hi)
+        ]
+        missing = [keys[i] for i in in_range if units[i] not in kept]
+        assert not missing, (lo, hi, missing[:5])
+    assert set(units_for_key_range(plan, None, None)) == set(range(plan.n_units))
+
+
+def test_decode_key_range_prunes_units(spark, webpages, outdir):
+    """key_range decode: exact rows AND fewer manifest rows scanned than
+    the full decode (whole units skipped before any payload read)."""
+    from universal_parquet_exporter_spark.encode.pipeline import _load_plan
+    from universal_parquet_exporter_spark.plans.partitioning import units_for_key_range
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=1 << 20)
+    encode_job(spark, webpages, cfg)
+    plan = _load_plan(outdir)
+    assert plan.n_units >= 3
+    bnd = plan.boundaries
+    lo, hi = bnd[0], bnd[1]  # a range spanning ~one bucket
+    kept = units_for_key_range(plan, lo, hi)
+    assert 0 < len(kept) < plan.n_units
+
+    got = decode_dataset(spark, outdir, key_range=(lo, hi))
+    expect = webpages.where((F.col("url") >= lo) & (F.col("url") <= hi))
+    assert got.count() == expect.count()
+    assert _mismatches(expect, got) == 0
+
+    manifest = spark.read.parquet(os.path.join(outdir, "data"))
+    scanned = manifest.where(F.col("unit").isin(kept)).count()
+    assert scanned < manifest.count()
+
+    with pytest.raises(ValueError, match="key column"):
+        decode_dataset(spark, outdir, columns=["lang"], key_range=(lo, hi))

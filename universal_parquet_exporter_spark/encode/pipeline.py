@@ -694,13 +694,26 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     }
 
 
-def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
+def decode_dataset(
+    spark,
+    output_dir: str,
+    columns: list[str] | None = None,
+    key_range: tuple[str | None, str | None] | None = None,
+):
     """Read the encoded dataset back as a DataFrame of original rows.
 
     Only fragments whose (unit, run_id) is recorded ok in lineage are
     read: orphans from a run that crashed between the data commit and the
     lineage commit are silently skipped (their units were re-encoded by
-    the resuming run)."""
+    the resuming run).
+
+    ``key_range=(lo, hi)`` (inclusive, None = unbounded) prunes the scan
+    to the encode units whose range boundaries can contain such keys
+    (:func:`..plans.partitioning.units_for_key_range`) — pruned units'
+    payload bytes are never read, the engine's partition-pruning analog
+    — then applies the exact full-precision filter on the decoded key
+    column.  With ``columns``, the key column must be included (the
+    residual filter needs it)."""
     from pyspark.sql import functions as F
 
     data_dir = os.path.join(output_dir, "data")
@@ -715,8 +728,27 @@ def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
         .select("unit", "run_id", "file", "offset", "length", "row_off", "n_rows")
         .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
     )
+    key_col = None
+    if key_range is not None:
+        from ..plans.partitioning import units_for_key_range
 
-    sample = enc.select("file", "offset", "length").limit(1).collect()
+        plan = _load_plan(output_dir)
+        if plan is None:
+            raise ValueError(f"no plan.json under {output_dir} for key-range pruning")
+        key_col = plan.key_col
+        if columns is not None and key_col not in columns:
+            raise ValueError(
+                f"key_range pruning needs the key column '{key_col}' in columns"
+            )
+        units = units_for_key_range(plan, key_range[0], key_range[1])
+        enc = enc.where(F.col("unit").isin(units))
+
+    # schema probe from the UNPRUNED manifest (a range that prunes every
+    # unit must still yield a correctly-typed empty DataFrame)
+    probe_src = enc if key_range is None else (
+        spark.read.parquet(data_dir).select("file", "offset", "length")
+    )
+    sample = probe_src.select("file", "offset", "length").limit(1).collect()
     if not sample:
         raise ValueError("empty encoded dataset")
     fh0 = _open_payload(payload_dir, sample[0].file)
@@ -760,12 +792,21 @@ def decode_dataset(spark, output_dir: str, columns: list[str] | None = None):
     # cluster, keeping all slices of a chunk together (hash by chunk id)
     # so the one-chunk cache still gets a hit per slice
     par = spark.sparkContext.defaultParallelism
-    return (
+    out = (
         enc.select("file", "offset", "length", "row_off", "n_rows")
         .repartition(par, "file", "offset")
         .sortWithinPartitions("file", "offset", "row_off")
         .mapInArrow(decode, out_schema)
     )
+    if key_range is not None:
+        # exact residual on the full-precision key (unit pruning is a
+        # conservative prefix-range superset)
+        lo, hi = key_range
+        if lo is not None:
+            out = out.where(F.col(key_col) >= lo)
+        if hi is not None:
+            out = out.where(F.col(key_col) <= hi)
+    return out
 
 
 def _timestamps_to_us(tbl: pa.Table) -> pa.Table:
@@ -883,6 +924,41 @@ def q_encode_roundtrip_pruned(spark, sf_dir: str):
     encode_job(spark, df, cfg)
     dec = decode_dataset(spark, out, columns=["doc_id", "lang"])
     return dec.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def q_decode_key_range(spark, sf_dir: str):
+    """Driver-contract query: encode the documents table keyed by
+    doc_id-as-string, then decode only the key range ['1', '3'] — the
+    plan's range boundaries prune whole encode units before any payload
+    byte is read, and the residual filter makes the result exact (string
+    comparison semantics, mirrored by the oracle's VARCHAR predicate).
+    The query raises if the plan had multiple units but pruning skipped
+    none, so the driver's green row certifies the pruning path runs, not
+    just the filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_krq_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=64 << 10
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    from ..plans.partitioning import units_for_key_range
+
+    plan = _load_plan(out)
+    pruned = units_for_key_range(plan, "1", "3")
+    if plan.n_units > 1 and len(pruned) >= plan.n_units:
+        raise RuntimeError(
+            f"key-range pruning kept all {plan.n_units} units — pruning path not exercised"
+        )
+    dec = decode_dataset(spark, out, key_range=("1", "3"))
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
 
 
 def q_encode_roundtrip_embeddings(spark, sf_dir: str):

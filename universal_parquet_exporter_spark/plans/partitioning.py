@@ -190,6 +190,33 @@ def _hash_fixed(keys: np.ndarray) -> np.ndarray:
     return out
 
 
+def units_for_key_range(plan: EncodePlan, lo: str | None, hi: str | None) -> list[int]:
+    """Unit ids that can contain keys in ``[lo, hi]`` (inclusive; None =
+    unbounded) — the encode layout's partition-pruning primitive.
+
+    Range boundaries order keys by KEY_WIDTH-byte prefix, and truncation
+    is monotone under bytewise order (``a <= b ⇒ a[:w] <= b[:w]``), so
+    every key in the range lands in a bucket between ``bucket(lo)`` and
+    ``bucket(hi)`` — the returned set is a conservative superset and a
+    residual full-precision filter on the decoded rows makes the scan
+    exact, the same contract as parquet row-group pruning.  Salted
+    (hash-split) buckets contribute all their sub-units."""
+    if not plan.salts:
+        return []
+    bnd = boundaries_fixed(plan)
+
+    def bucket_of(key: str) -> int:
+        k = np.array([key.encode("utf-8")[:KEY_WIDTH]], dtype=f"S{KEY_WIDTH}")
+        return int(np.searchsorted(bnd, k, side="right")[0])
+
+    b_lo = 0 if lo is None else bucket_of(lo)
+    b_hi = len(plan.salts) - 1 if hi is None else bucket_of(hi)
+    units: list[int] = []
+    for b in range(b_lo, b_hi + 1):
+        units.extend(range(plan.unit_offsets[b], plan.unit_offsets[b] + plan.salts[b]))
+    return units
+
+
 def assign_units(keys: np.ndarray, plan: EncodePlan) -> np.ndarray:
     """Unit-id assignment for an object array of key strings (small-scale
     helper; the pipeline uses :func:`assign_units_arrow`)."""
