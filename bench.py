@@ -411,6 +411,12 @@ def _leg_summary(reps: list[dict]) -> dict:
     out["mp_control_reps"] = [m["mp_control_gbps"] for m in reps]
     out["mp_control_gbps"] = max(out["mp_control_reps"])
     out["mp_control_median"] = round(statistics.median(out["mp_control_reps"]), 4)
+    # decode ran in one designated rep; carry its figures even when a
+    # different rep won on gbps
+    for m in reps:
+        for k in ("decode_rows", "decode_gbps"):
+            if k in m and k not in out:
+                out[k] = m[k]
     return out
 
 
