@@ -393,6 +393,17 @@ def jaccard_pairs_prefix(
     so true pairs always survive and only false candidates are cut
     (3.3x fewer verifications measured at sf0.1).
 
+    The prefix subplan feeds both sides of the self-join and Catalyst
+    emits no ReusedExchange for it (self-join attribute deduplication
+    rewrites one side's expression ids, breaking canonical plan
+    equality — measured 0 reuses with and without the ``g``
+    checkpoint), so the frequency aggregation runs twice —
+    deliberately: both duplicate subtrees execute concurrently inside
+    one job, and A/B runs at sf0.1 measured a ``localCheckpoint`` cut
+    (exploded or compact per-doc form alike) ~40% SLOWER end-to-end
+    than the recompute, because the materialization barrier serializes
+    what the scheduler otherwise overlaps.
+
     Verify-stage exchange accounting (why the two-join verify stays):
     computing exact ``|A ∩ B|`` needs both gram arrays at one executor
     per pair, so ANY topology ships, per side, at least one per-doc
