@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
         "dedup_embed": dedup.q_dedup_embed,
+        "dedup_incremental": dedup.q_dedup_incremental,
         "embed_topk": similarity.q_embed_topk,
         "embed_ann_lsh": similarity.q_embed_ann_lsh,
         "embed_ann_ivf": similarity.q_embed_ann_ivf,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.q_quality_score,
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
+        "repetition_score": textstats.q_repetition_score,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "media_frames": multimodal.q_media_frames,
         # --- the encode engine itself, oracle-checked end-to-end ---
@@ -264,6 +266,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
             + " FROM documents"
         ),
+        # incremental ingest: batch rows whose FULL signature matches a
+        # standing-corpus row are dropped (anti-join on the 8-int key)
+        "dedup_incremental": (
+            "WITH s AS (SELECT doc_id, source, "
+            + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
+            + " FROM documents), "
+            "c AS (SELECT DISTINCT "
+            + ", ".join(f"mh{i}" for i in range(8))
+            + " FROM s WHERE source IN ('src0','src1','src2','src3')) "
+            "SELECT doc_id, "
+            + ", ".join(f"b.mh{i} AS mh{i}" for i in range(8))
+            + " FROM s b WHERE b.source NOT IN ('src0','src1','src2','src3') "
+            "AND NOT EXISTS (SELECT 1 FROM c WHERE "
+            + " AND ".join(f"c.mh{i} = b.mh{i}" for i in range(8))
+            + ") ORDER BY doc_id"
+        ),
         "dedup_minhash_pairs": (
             "WITH sig AS (SELECT doc_id AS id, "
             + ", ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(8))
@@ -339,6 +357,21 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             f"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens, "
             "length(text) AS n_chars FROM documents"
+        ),
+        # the keep/drop flag compares UNROUNDED fractions, same as Spark
+        "repetition_score": (
+            "WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+            f"THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks FROM documents), "
+            "m AS (SELECT doc_id, len(toks) AS n_words, "
+            "CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+            "ELSE 0.0 END AS dw, "
+            "CASE WHEN len(toks) > 1 THEN 1.0 - CAST(len(list_distinct(list_transform("
+            "range(1, greatest(len(toks), 1)), i -> toks[i] || '_' || toks[i+1]))) AS DOUBLE) "
+            "/ (len(toks) - 1) ELSE 0.0 END AS db FROM w) "
+            "SELECT doc_id, n_words, round(dw, 4) AS dup_word_frac, "
+            "round(db, 4) AS dup_bigram_frac, "
+            "CASE WHEN dw > 0.6 OR db > 0.1 THEN 1 ELSE 0 END AS flag_repetitive "
+            "FROM m ORDER BY doc_id"
         ),
         # dedup -> quality filter -> langid, chained exactly as the Spark
         # pipeline composes them

@@ -95,3 +95,26 @@ def test_no_python_udfs_in_relational_plans(spark):
         df = getattr(relational, name)(spark, SF_SMOKE)
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_repetition_score_is_zero_shuffle_projection(spark):
+    """The repetition scorer must stay one narrow whole-stage-codegen
+    projection: no exchange, no Python eval, at any corpus size."""
+    from universal_parquet_exporter_spark.operators import textstats
+
+    df = textstats.q_repetition_score(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_anti_join_is_narrow(spark):
+    """Incremental ingest must anti-join projected signatures only —
+    LeftAnti in the optimized plan and no document text in any
+    exchange."""
+    df = dedup.q_dedup_incremental(spark, SF_SMOKE)
+    assert "LeftAnti" in optimized_of(df)
+    plan = plan_of(df)
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln

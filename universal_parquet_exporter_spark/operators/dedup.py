@@ -224,6 +224,46 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs)
 
 
+def incremental_new_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest near-dup gate: rows of ``batch`` whose full
+    MinHash signature equals any already-ingested ``corpus`` row's
+    signature are dropped (the standard way a training pipeline admits a
+    new crawl slice against a standing corpus — reference analog: the
+    exporter's per-run batch isolation, export/exporter.py, generalised
+    to cross-run content identity).
+
+    Scale shape: both sides are projected to the (id, k-int signature)
+    stream by :func:`minhash_signature_df` before any exchange — the
+    anti-join shuffles ~72 bytes/doc regardless of document size, the
+    corpus side is deduplicated to distinct signatures first, and AQE
+    broadcasts it when the standing-corpus signature set is small
+    relative to the batch.  No document body ever crosses the wire."""
+    sig_cols = [f"mh{i}" for i in range(len(MINHASH_PARAMS))]
+    corpus_sigs = minhash_signature_df(corpus, text_col, id_col).select(*sig_cols).distinct()
+    batch_sigs = minhash_signature_df(batch, text_col, id_col)
+    return batch_sigs.join(corpus_sigs, on=sig_cols, how="left_anti").select(
+        F.col("id").alias(id_col), *sig_cols
+    )
+
+
+# the deterministic corpus/batch split used by the oracle-checked query:
+# four named sources act as the standing corpus, the rest as the new slice
+CORPUS_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs that survive incremental near-dup ingest against the
+    standing corpus (full-signature match ⇒ drop)."""
+    docs = _t(spark, sf_dir, "documents")
+    in_corpus = F.col("source").isin(*CORPUS_SOURCES)
+    return incremental_new_docs(docs.filter(in_corpus), docs.filter(~in_corpus))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import tokens_expr
+from .dedup import ngram_set, tokens_expr
 
 
 def _t(spark, sf_dir, name):
@@ -72,6 +72,41 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality"),
+    )
+
+
+# within-document repetition (C4/Gopher-style filters) -----------------------
+
+
+def repetition_exprs(text_col):
+    """Duplicate-word and duplicate-bigram fractions per document — the
+    standard within-doc repetition signals web-corpus filters threshold
+    on (boilerplate and generator spam repeat tokens and n-grams far
+    above natural text).  Entirely narrow: token/bigram sets come from
+    array built-ins on the split column, so the whole scorer is one
+    zero-shuffle whole-stage-codegen projection at any corpus size."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    dup_word = F.when(n > 0, F.lit(1.0) - d.cast("double") / n).otherwise(F.lit(0.0))
+    db = F.size(ngram_set(text_col, 2))
+    dup_bigram = F.when(n > 1, F.lit(1.0) - db.cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return n, dup_word, dup_bigram
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition features + a binary keep/drop flag (thresholds chosen
+    to actually discriminate on the fixture: word fraction spans 0–0.72,
+    bigram fraction 0–0.13).  The flag compares the UNROUNDED fractions,
+    mirrored exactly in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n, dup_word, dup_bigram = repetition_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(dup_word, 4).alias("dup_word_frac"),
+        F.round(dup_bigram, 4).alias("dup_bigram_frac"),
+        F.when((dup_word > 0.6) | (dup_bigram > 0.1), 1).otherwise(0).alias("flag_repetitive"),
     )
 
 
