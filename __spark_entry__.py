@@ -32,7 +32,14 @@ from universal_parquet_exporter_spark.encode.pipeline import (
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_pruned as _q_encode_roundtrip_pruned,
 )
-from universal_parquet_exporter_spark.operators import dedup, multimodal, relational, similarity, textstats
+from universal_parquet_exporter_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    textstats,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -90,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
         "repetition_score": textstats.q_repetition_score,
+        "sample_stratified": sampling.q_sample_stratified,
         "multimodal_meta": multimodal.q_multimodal_meta,
         "media_frames": multimodal.q_media_frames,
         # --- the encode engine itself, oracle-checked end-to-end ---
@@ -372,6 +380,16 @@ def oracle_sql() -> dict[str, str]:
             "round(db, 4) AS dup_bigram_frac, "
             "CASE WHEN dw > 0.6 OR db > 0.1 THEN 1 ELSE 0 END AS flag_repetitive "
             "FROM m ORDER BY doc_id"
+        ),
+        # deterministic training-mix sampling: md5-of-id bucket under a
+        # per-language keep rate (en 40%, zh 60%, rest 100%)
+        "sample_stratified": (
+            "WITH s AS (SELECT doc_id, lang, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket "
+            "FROM documents) "
+            "SELECT doc_id, lang, bucket FROM s "
+            "WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 60 ELSE 100 END "
+            "ORDER BY doc_id"
         ),
         # dedup -> quality filter -> langid, chained exactly as the Spark
         # pipeline composes them

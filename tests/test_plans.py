@@ -118,3 +118,14 @@ def test_incremental_dedup_anti_join_is_narrow(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln
+
+
+def test_stratified_sample_is_zero_shuffle_filter(spark):
+    """The sample election must be one narrow codegen filter — no
+    exchange, no Python — so it composes in front of anything."""
+    from universal_parquet_exporter_spark.operators import sampling
+
+    df = sampling.q_sample_stratified(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
