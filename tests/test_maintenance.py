@@ -167,6 +167,79 @@ def test_vacuum_horizon_spares_young_orphan_rows(spark, webpages, outdir):
     assert decode_dataset(spark, outdir).count() == N_ROWS
 
 
+def test_vacuum_skips_stray_subdirectory(spark, webpages, outdir):
+    """A stray subdirectory under payload/ (checkpoint dir, _tmp dir from
+    some other tool) must be ignored, not classified as a dead file — the
+    POSIX listing filters regular files like the pyarrow branch does."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    pdir = os.path.join(outdir, "payload")
+    stray = os.path.join(pdir, "stray_dir")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "inner.bin"), "wb") as f:
+        f.write(b"\x00" * 64)
+
+    rep = vacuum(spark, outdir)
+    assert rep["deleted_files"] == 0
+    assert os.path.isdir(stray)  # untouched
+    assert decode_dataset(spark, outdir).count() == N_ROWS
+
+
+def test_vacuum_horizon_anchored_to_storage_clock(spark, webpages, outdir, monkeypatch):
+    """The older_than_sec horizon compares against STORAGE mtimes, so
+    'now' must come from the storage clock: with the driver clock a day
+    behind (simulated), a 2h-old dead file must still be swept under a
+    1h horizon.  Driver-time anchoring would compute a negative age and
+    wrongly spare it."""
+    import universal_parquet_exporter_spark.encode.maintenance as m
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    pdir = os.path.join(outdir, "payload")
+    dead = os.path.join(pdir, "frag-dead-aged.bin")
+    with open(dead, "wb") as f:
+        f.write(b"\x02" * 1024)
+    past = time.time() - 7200
+    os.utime(dead, (past, past))
+
+    real_time = time.time
+
+    class _SkewedClock:  # replaces the module's `time` binding only
+        @staticmethod
+        def time():
+            return real_time() - 86400
+
+    monkeypatch.setattr(m, "time", _SkewedClock)
+    rep = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep["deleted_files"] == 1
+    assert not os.path.exists(dead)
+
+
+def test_decode_key_range_after_vacuum_without_rewrite(spark, webpages, outdir):
+    """The object-store mode (rewrite_manifest=False) deletes orphan
+    payload FILES but keeps their manifest rows; a key-range decode's
+    schema probe must not land on such a row (it reads the committed
+    manifest, not the raw one) — regression for the FileNotFoundError
+    the raw-manifest probe could raise on a healthy dataset."""
+    from universal_parquet_exporter_spark.encode.pipeline import _load_plan
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=1 << 20)
+    encode_job(spark, webpages, cfg)
+    _crash_after_manifest_commit(spark, webpages, outdir)
+
+    rep = vacuum(spark, outdir, rewrite_manifest=False)
+    assert rep["deleted_files"] > 0 and rep["manifest_rewritten"] is False
+    # orphan rows still present in the manifest, their payload gone
+    data = spark.read.parquet(os.path.join(outdir, "data"))
+    assert data.where("run_id = 'deadbeef0000'").count() > 0
+
+    plan = _load_plan(outdir)
+    lo, hi = plan.boundaries[0], plan.boundaries[-1]
+    got = decode_dataset(spark, outdir, key_range=(lo, hi))
+    expect = webpages.where((F.col("url") >= lo) & (F.col("url") <= hi))
+    assert got.count() == expect.count()
+
+
 def test_vacuum_heals_interrupted_swap(spark, webpages, outdir):
     """A vacuum killed between the two swap renames leaves data/ missing
     and data.vacuum_old behind; the next vacuum must roll it back before

@@ -42,6 +42,33 @@ def test_frame_bytes_exact(frames_df):
     assert rows[(3, 3)] == b"x" * 16  # start 75, take 16 of 100
 
 
+def test_frame_batch_split_matches_unsplit(spark):
+    """When a batch's sampled bytes exceed the int32-offset cap the
+    emitter splits into row slices; a tiny cap must produce EXACTLY the
+    rows the unsplit path produces (regression for the silent int32
+    truncation the old cast allowed)."""
+    rows = [(i, bytes([i % 251]) * (20 + i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(1)
+    base = {
+        (r.doc_id, r.frame_idx): (r.frame_off, bytes(r.frame))
+        for r in sample_frames(df, n_frames=4, frame_bytes=16).collect()
+    }
+    # cap of 40 bytes -> at most 2 full 16-byte frames per slice
+    split = {
+        (r.doc_id, r.frame_idx): (r.frame_off, bytes(r.frame))
+        for r in sample_frames(df, n_frames=4, frame_bytes=16, max_batch_bytes=40).collect()
+    }
+    assert split == base
+
+
+def test_frame_over_cap_raises_not_truncates(spark):
+    """A single frame larger than the cap must fail loudly, never wrap
+    offsets."""
+    df = spark.createDataFrame([(1, b"y" * 64)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="int32"):
+        sample_frames(df, n_frames=1, frame_bytes=64, max_batch_bytes=32).collect()
+
+
 def test_frame_bytes_short_doc_offsets(spark):
     df = spark.createDataFrame([(7, b"abcdef")], "doc_id long, payload binary")
     got = {r.frame_idx: (r.frame_off, bytes(r.frame)) for r in sample_frames(df).collect()}

@@ -246,8 +246,8 @@ def test_iceberg_input_format_via_manifest_mock(spark, webpages, webpages_parque
         if f.endswith(".parquet")
     )
     meta = spark.createDataFrame(
-        [(f, pq.ParquetFile(f).metadata.num_rows) for f in files],
-        "file_path string, record_count long",
+        [(f, pq.ParquetFile(f).metadata.num_rows, 0) for f in files],
+        "file_path string, record_count long, content int",
     )
     seen_sql = {}
 
@@ -260,11 +260,37 @@ def test_iceberg_input_format_via_manifest_mock(spark, webpages, webpages_parque
         output_dir=outdir, target_unit_bytes=2 << 20, input_format="iceberg"
     )
     metrics = encode_parquet_job(spark, "warehouse.web.pages", cfg)
-    assert seen_sql["q"] == "SELECT file_path, record_count FROM warehouse.web.pages.files"
+    assert (
+        seen_sql["q"]
+        == "SELECT file_path, record_count, content FROM warehouse.web.pages.files"
+    )
     assert metrics["rows"] == N_ROWS
     dec = decode_dataset(spark, outdir)
     assert dec.count() == N_ROWS
     assert _mismatches(webpages, dec) == 0
+
+
+def test_iceberg_input_rejects_merge_on_read_deletes(spark, webpages_parquet, outdir, monkeypatch):
+    """A v2 merge-on-read snapshot carries delete files (content=1/2);
+    scanning its data files directly would resurrect deleted rows, so the
+    job must fail fast with an actionable message instead of encoding."""
+    import pytest
+
+    from universal_parquet_exporter_spark.encode.pipeline import encode_parquet_job
+
+    files = sorted(
+        os.path.join(webpages_parquet, f)
+        for f in os.listdir(webpages_parquet)
+        if f.endswith(".parquet")
+    )
+    rows = [(f, 100, 0) for f in files] + [("s3://wh/deletes/pos-00.parquet", 7, 1)]
+    meta = spark.createDataFrame(rows, "file_path string, record_count long, content int")
+    monkeypatch.setattr(spark, "sql", lambda q, *a, **kw: meta)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, target_unit_bytes=2 << 20, input_format="iceberg"
+    )
+    with pytest.raises(ValueError, match="delete file"):
+        encode_parquet_job(spark, "warehouse.web.pages", cfg)
 
 
 def test_resume_membership_searchsorted_equivalence_and_speed():
@@ -356,3 +382,59 @@ def test_decode_key_range_prunes_units(spark, webpages, outdir):
 
     with pytest.raises(ValueError, match="key column"):
         decode_dataset(spark, outdir, columns=["lang"], key_range=(lo, hi))
+
+
+def test_units_for_key_range_non_ascii_prefix_boundary():
+    """Keys whose UTF-8 bytes straddle the KEY_WIDTH prefix (multibyte
+    codepoint cut mid-sequence by truncation) must still satisfy the
+    conservative-superset contract — bytewise prefix order is what both
+    the planner and the pruner compare, and UTF-8 byte order equals
+    codepoint order, so Python string ranges agree."""
+    from universal_parquet_exporter_spark.plans.partitioning import (
+        KEY_WIDTH,
+        EncodePlan,
+        units_for_key_range,
+    )
+
+    stem = "a" * (KEY_WIDTH - 1)  # 47 ascii bytes: 2-byte chars straddle byte 48
+    keys = np.array(
+        [stem + s for s in ["b", "z", "é", "émore", "日本", "日記", "àtail", ""]]
+        + ["bare", "日本語のキーがとても長い場合でも正しく動く" * 3],
+        dtype=object,
+    )
+    plan = EncodePlan("url", [stem + "d", stem + "é", "日本"], [1, 2, 1, 1])
+    units = assign_units(keys, plan)
+    ranges = [
+        (stem + "a", stem + "é"),
+        (stem + "é", stem + "￿"),
+        ("日", "日￿"),
+        (stem + "é", stem + "é"),  # lo == hi on a truncated-prefix key
+        (None, "日本"),
+    ]
+    for lo, hi in ranges:
+        kept = set(units_for_key_range(plan, lo, hi))
+        for i, k in enumerate(keys):
+            if (lo is None or k >= lo) and (hi is None or k <= hi):
+                assert units[i] in kept, (lo, hi, k)
+
+
+def test_decode_key_range_empty_and_inverted(spark, webpages, outdir):
+    """A range matching nothing (inverted lo>hi, or beyond all keys) must
+    return a correctly-TYPED empty DataFrame — the schema probe reads the
+    committed manifest, not the pruned one."""
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=1 << 20)
+    encode_job(spark, webpages, cfg)
+    full = decode_dataset(spark, outdir)
+
+    inverted = decode_dataset(spark, outdir, key_range=("zzz", "aaa"))
+    assert inverted.schema == full.schema
+    assert inverted.count() == 0
+
+    beyond = decode_dataset(spark, outdir, key_range=("￿", None))
+    assert beyond.schema == full.schema
+    assert beyond.count() == 0
+
+    # lo == hi on an existing key: exactly that url's rows
+    one = webpages.select("url").orderBy("url").limit(1).collect()[0].url
+    got = decode_dataset(spark, outdir, key_range=(one, one))
+    assert got.count() == webpages.where(F.col("url") == one).count()

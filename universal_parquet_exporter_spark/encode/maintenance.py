@@ -48,10 +48,14 @@ def _list_payload_files(payload_dir: str) -> list[tuple[str, int, float]]:
     if fs is None:
         if not os.path.isdir(root):
             return []
-        for name in os.listdir(root):
-            full = os.path.join(root, name)
-            st = os.stat(full)
-            out.append((name, st.st_size, st.st_mtime))
+        # regular files only, matching the pyarrow branch's FileType.File
+        # filter — a stray subdirectory must not be classified as a dead
+        # payload file (os.unlink on it would crash the sweep)
+        for entry in os.scandir(root):
+            if not entry.is_file(follow_symlinks=False):
+                continue
+            st = entry.stat()
+            out.append((entry.name, st.st_size, st.st_mtime))
     else:
         from pyarrow.fs import FileSelector, FileType
 
@@ -89,6 +93,39 @@ def _delete_files(payload_dir: str, names: list[str], spark=None) -> None:
                 fs.delete_file(f"{root}/{n}")
         except FileNotFoundError:
             pass
+
+
+def _storage_now(output_dir: str) -> float:
+    """'Now' on the STORAGE clock: write a marker file next to the
+    dataset, read back its mtime, delete it.  ``older_than_sec`` horizons
+    compare against storage mtimes, so anchoring now to the driver's
+    ``time.time()`` silently erodes the 'never sweep an in-flight payload
+    file' margin by however far the driver and storage clocks disagree —
+    on object stores that skew is unbounded.  One marker round-trip pins
+    the comparison to a single clock.  Falls back to driver time if the
+    store exposes no mtime (then the horizon must also absorb worst-case
+    skew — documented in :func:`vacuum`)."""
+    fs, root = _payload_fs(output_dir)
+    name = ".vacuum_clock_probe"
+    try:
+        if fs is None:
+            os.makedirs(root, exist_ok=True)
+            path = os.path.join(root, name)
+            with open(path, "wb") as f:
+                f.write(b"x")
+            mtime = os.stat(path).st_mtime
+            os.unlink(path)
+            return mtime
+        path = f"{root}/{name}"
+        with fs.open_output_stream(path) as f:
+            f.write(b"x")
+        info = fs.get_file_info(path)
+        fs.delete_file(path)
+        if info.mtime is not None:
+            return info.mtime.timestamp()
+    except OSError:
+        pass
+    return time.time()
 
 
 def _heal_interrupted_swap(data_dir: str) -> None:
@@ -158,7 +195,12 @@ def vacuum(
     data_dir = os.path.join(output_dir, "data")
     lineage_dir = os.path.join(output_dir, "lineage")
     payload_dir = os.path.join(output_dir, "payload")
-    now = time.time()
+    # the horizon compares against STORAGE mtimes, so 'now' comes from the
+    # storage clock (marker-file round trip) — driver/storage skew must
+    # not erode the in-flight safety margin.  If the store exposes no
+    # mtime, this falls back to driver time and older_than_sec must
+    # exceed the longest in-flight job PLUS worst-case clock skew.
+    now = _storage_now(output_dir)
     _heal_interrupted_swap(data_dir)
 
     committed = (

@@ -288,16 +288,34 @@ def _iceberg_work_items(spark, table: str) -> tuple[list[tuple[str, int]], int]:
     ``<table>.files`` metadata table — no directory listing and no
     driver-side footer scan.  Each item is ``(file_path, -1)``; the map
     task expands ``-1`` to the file's row groups itself (footers are read
-    where the data is — the Iceberg split-planning shape).  Requires an
-    Iceberg catalog configured on the session (``spark.sql.catalog.*``);
-    the sandbox has none, so this branch is exercised by a mock of the
-    metadata-table query (``tests/test_pipeline.py``), the same way the
-    JDBC reader is tested without a database."""
+    where the data is — the Iceberg split-planning shape).
+
+    Copy-on-write tables only: ``content`` classifies each manifest entry
+    (0 = data, 1 = position deletes, 2 = equality deletes), and a v2
+    merge-on-read snapshot stores row-level deletes as delete FILES that a
+    plain file scan cannot apply — encoding such a table would silently
+    resurrect deleted rows, so any delete file fails the job fast instead.
+
+    Requires an Iceberg catalog configured on the session
+    (``spark.sql.catalog.*``); the sandbox has none, so this branch is
+    exercised by a mock of the metadata-table query
+    (``tests/test_pipeline.py``), the same way the JDBC reader is tested
+    without a database."""
     files = spark.sql(
-        f"SELECT file_path, record_count FROM {table}.files"
+        f"SELECT file_path, record_count, content FROM {table}.files"
     ).collect()
-    items = [(r.file_path, -1) for r in files]
-    total_rows = int(sum(r.record_count for r in files))
+    n_deletes = sum(1 for r in files if int(r.content or 0) != 0)
+    if n_deletes:
+        raise ValueError(
+            f"{table} has {n_deletes} delete file(s) in its current snapshot "
+            "(merge-on-read row-level deletes); the encode scan reads data "
+            "files directly and cannot apply them. Rewrite the table "
+            "copy-on-write first (e.g. CALL rewrite_data_files / "
+            "rewrite_position_delete_files) and re-run."
+        )
+    data = [r for r in files if int(r.content or 0) == 0]
+    items = [(r.file_path, -1) for r in data]
+    total_rows = int(sum(r.record_count for r in data))
     return items, total_rows
 
 
@@ -728,6 +746,13 @@ def decode_dataset(
         .select("unit", "run_id", "file", "offset", "length", "row_off", "n_rows")
         .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
     )
+    # committed-but-unpruned view, captured BEFORE any key-range unit
+    # filter: the schema probe must (a) survive a range that prunes every
+    # unit (typed empty result) and (b) never land on an orphan manifest
+    # row — after vacuum(rewrite_manifest=False), the documented
+    # object-store mode, orphan rows outlive their deleted payload files
+    # and a raw-manifest probe would raise FileNotFoundError
+    enc_committed = enc
     key_col = None
     if key_range is not None:
         from ..plans.partitioning import units_for_key_range
@@ -743,12 +768,7 @@ def decode_dataset(
         units = units_for_key_range(plan, key_range[0], key_range[1])
         enc = enc.where(F.col("unit").isin(units))
 
-    # schema probe from the UNPRUNED manifest (a range that prunes every
-    # unit must still yield a correctly-typed empty DataFrame)
-    probe_src = enc if key_range is None else (
-        spark.read.parquet(data_dir).select("file", "offset", "length")
-    )
-    sample = probe_src.select("file", "offset", "length").limit(1).collect()
+    sample = enc_committed.select("file", "offset", "length").limit(1).collect()
     if not sample:
         raise ValueError("empty encoded dataset")
     fh0 = _open_payload(payload_dir, sample[0].file)
@@ -956,6 +976,38 @@ def q_decode_key_range(spark, sf_dir: str):
             f"key-range pruning kept all {plan.n_units} units — pruning path not exercised"
         )
     dec = decode_dataset(spark, out, key_range=("1", "3"))
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_key_range_open(spark, sf_dir: str):
+    """Driver-contract query: open-ended key-range decode — ``['5', None)``
+    prunes every unit strictly below bucket('5') and leaves the upper end
+    unbounded, the common "resume the scan from key K" shape.  Same
+    pruning-exercised guard as :func:`q_decode_key_range`; the oracle is
+    the equivalent VARCHAR ``>=`` predicate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_kro_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=64 << 10
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    from ..plans.partitioning import units_for_key_range
+
+    plan = _load_plan(out)
+    pruned = units_for_key_range(plan, "5", None)
+    if plan.n_units > 1 and len(pruned) >= plan.n_units:
+        raise RuntimeError(
+            f"open key-range pruning kept all {plan.n_units} units — pruning path not exercised"
+        )
+    dec = decode_dataset(spark, out, key_range=("5", None))
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
     )

@@ -79,6 +79,11 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
 
+# pa.binary() int32-offset ceiling: default for sample_frames'
+# max_batch_bytes (tests pass a tiny value to exercise the row-slice
+# split without allocating 2 GiB)
+_MAX_FRAME_BATCH_BYTES = 2**31
+
 
 def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets relative to row 0, flat data bytes) for a binary/string array."""
@@ -102,6 +107,7 @@ def sample_frames(
     bin_col: str = "payload",
     n_frames: int = 4,
     frame_bytes: int = 16,
+    max_batch_bytes: int = _MAX_FRAME_BATCH_BYTES,
 ) -> DataFrame:
     """Frame-sampling plumbing for video/audio payloads: slice each binary
     payload at ``n_frames`` evenly-spaced offsets (a real decoder would
@@ -120,24 +126,40 @@ def sample_frames(
                 take = np.minimum(frame_bytes, lengths - starts)
                 out_off = np.zeros(n + 1, dtype=np.int64)
                 np.cumsum(take, out=out_off[1:])
-                total = int(out_off[-1])
                 pos = offsets[:-1] + starts
-                flat = np.repeat(pos, take) + (
-                    np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], take)
-                )
-                frames = pa.Array.from_buffers(
-                    pa.binary(),
-                    n,
-                    [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(data[flat])],
-                )
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "doc_id": ids,
-                        "frame_idx": pa.array(np.full(n, i, dtype=np.int32)),
-                        "frame_off": pa.array(starts, type=pa.int64()),
-                        "frame": frames,
-                    }
-                )
+                # pa.binary() offsets are int32: emit in row slices whose
+                # sampled bytes stay under 2 GiB (one slice in practice;
+                # an int32 cast of a larger total would TRUNCATE silently)
+                lo = 0
+                while lo < n:
+                    hi = (
+                        n
+                        if out_off[-1] - out_off[lo] < max_batch_bytes
+                        else int(np.searchsorted(out_off, out_off[lo] + max_batch_bytes - 1) - 1)
+                    )
+                    if hi <= lo:  # single row over 2 GiB: impossible at
+                        # sane frame_bytes, fail loudly rather than wrap
+                        raise OverflowError("one sampled frame exceeds int32 offsets")
+                    soff = out_off[lo : hi + 1] - out_off[lo]
+                    total = int(soff[-1])
+                    tk = take[lo:hi]
+                    flat = np.repeat(pos[lo:hi], tk) + (
+                        np.arange(total, dtype=np.int64) - np.repeat(soff[:-1], tk)
+                    )
+                    frames = pa.Array.from_buffers(
+                        pa.binary(),
+                        hi - lo,
+                        [None, pa.py_buffer(soff.astype(np.int32)), pa.py_buffer(data[flat])],
+                    )
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "doc_id": ids.slice(lo, hi - lo),
+                            "frame_idx": pa.array(np.full(hi - lo, i, dtype=np.int32)),
+                            "frame_off": pa.array(starts[lo:hi], type=pa.int64()),
+                            "frame": frames,
+                        }
+                    )
+                    lo = hi
 
     return df.mapInArrow(run, FRAME_SCHEMA)
 
