@@ -73,6 +73,50 @@ def test_array_roundtrip(name):
     assert_identical(out, src)
 
 
+def test_decimal_scaled_int_routing_and_ratio():
+    """DECIMAL(10,2) money columns (the reference's ubiquitous type,
+    /root/reference/tests/test_query_executor_realDB.py:98) must route
+    through the int selector as scaled integers — 16-byte plain storage
+    is ≥2x too big for values FOR/bit-packing compresses."""
+    cents = rng.integers(0, 1_000_000, 50000)
+    src = pa.array(
+        [decimal.Decimal(int(c)).scaleb(-2) for c in cents], type=pa.decimal128(10, 2)
+    )
+    meta, bufs = encode_array("c", src)
+    assert meta["enc"]["codec"] == "dscale"
+    assert sum(len(b) for b in bufs) <= src.nbytes * 0.25  # ≤4B/val vs 16B
+    out = decode_array(meta, bufs)
+    assert_identical(out, src)
+
+
+def test_decimal_wide_values_fall_back_plain():
+    """Unscaled values beyond int64 (precision 38) must take the plain
+    16-byte path and still round-trip bit-identically."""
+    src = pa.array(
+        [decimal.Decimal(2**100), decimal.Decimal(-(2**90)), None, decimal.Decimal(7)],
+        type=pa.decimal128(38, 0),
+    )
+    meta, bufs = encode_array("c", src)
+    assert meta["enc"]["codec"] == "plain"
+    out = decode_array(meta, bufs)
+    assert_identical(out, src)
+
+
+def test_decimal_negative_null_and_sliced():
+    """Negative scaled values (sign-extension path), nulls, and a sliced
+    array (nonzero Arrow offset) through the dscale route."""
+    vals = [decimal.Decimal("-12345.67"), None, decimal.Decimal("0.01"),
+            decimal.Decimal("-0.99"), decimal.Decimal("99999.99")] * 200
+    src = pa.array(vals, type=pa.decimal128(12, 2))
+    meta, bufs = encode_array("c", src)
+    assert meta["enc"]["codec"] == "dscale"
+    assert_identical(decode_array(meta, bufs), src)
+
+    sliced = src.slice(3, 750)
+    meta, bufs = encode_array("c", sliced)
+    assert_identical(decode_array(meta, bufs), sliced)
+
+
 def test_sliced_array_roundtrip():
     src = pa.array(["abc", "de", None, "fgh", "ij"] * 100)
     sliced = src.slice(3, 250)

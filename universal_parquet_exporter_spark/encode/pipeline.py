@@ -147,6 +147,12 @@ class EncodeJobConfig:
     # and 10k-row chunks), so chunk size must NOT depend on how many
     # units a task happens to touch.
     chunk_rows: int = 32768
+    # per-task buffered-bytes cap: the encode stream flushes a grouped
+    # chunk wave whenever buffered input crosses this, so task memory is
+    # independent of the input split size (a 100 TB job can keep
+    # map_tasks small without risking executor OOM).  256 MB default =
+    # several full-size chunks per wave, no measurable ratio cost.
+    max_buffer_bytes: int = 256 << 20
     # explicit map-task count for the parquet path (None = ~4 waves of
     # defaultParallelism).  Benchmarks pin this so every parallelism
     # level runs IDENTICAL per-task work — the way a real cluster scales.
@@ -193,6 +199,7 @@ class EncodeJobConfig:
             sample_rows=int(env.get("UPES_ENCODE_SAMPLE_ROWS", 100_000)),
             run_id=env.get("UPES_ENCODE_RUN_ID", ""),
             chunk_rows=int(env.get("UPES_ENCODE_CHUNK_ROWS", 32768)),
+            max_buffer_bytes=int(env.get("UPES_ENCODE_MAX_BUFFER_BYTES", 256 << 20)),
             map_tasks=int(map_tasks) if map_tasks else None,
             input_format=env.get("UPES_ENCODE_INPUT_FORMAT", "parquet"),
         )
@@ -430,42 +437,58 @@ def _encode_stream(
     key_col: str,
     payload_dir: str,
     chunk_rows: int = 32768,
+    max_buffer_bytes: int = 256 << 20,
+    stats: dict | None = None,
 ):
     """Core map-side combine: consume Arrow record batches, bucket rows
     into encode units, serialize runs of consecutive unit-slices as
     chunks of ~``chunk_rows`` rows into the task's payload file, and emit
     one manifest row per unit-slice (chunk location + row range).  Shared
-    by the DataFrame input path and the direct-parquet input path."""
+    by the DataFrame input path and the direct-parquet input path.
+
+    Task memory is BOUNDED by ``max_buffer_bytes``: whenever the buffered
+    (referenced) bytes cross the cap, the whole buffer is flushed as a
+    grouped wave — unit-sorted, consecutive unit-slices packed into
+    ~``chunk_rows``-row chunks, identical to the end-of-input flush — and
+    the buffer is cleared so the input batches it pinned are released.
+    Flushing the whole wave (rather than one hot unit) matters because
+    unit buffers hold zero-copy SLICES of input batches: releasing parent
+    memory requires every slice of a parent to go, and a 256 MB wave
+    still yields full-size chunks, so ratio/throughput are unaffected.
+    Units touched by several waves simply get several manifest rows
+    (fragments), which decode and resume already handle.  Resident set
+    per task ≈ cap + one input batch + serialization temporaries,
+    independent of the task's input split size — the 100 TB sizing rule
+    is therefore just ``max_buffer_bytes``, not ``map_tasks``.
+
+    ``stats`` (tests) receives ``peak_buffer_bytes`` and ``flush_waves``."""
     from ..plans.partitioning import _fixed_width
 
     buf: dict[int, list] = {}
-    for batch in iterator:
-        if batch.num_rows == 0:
-            continue
-        units = assign_units_arrow(batch.column(key_col), plan_local)
-        keys = _fixed_width(batch.column(key_col))
-        if done_local.size:
-            keep = _resume_keep_mask(units, done_local)
-            if not keep.all():
-                idx = np.flatnonzero(keep)
-                batch = batch.take(pa.array(idx))
-                units = units[keep]
-                keys = keys[keep]
-        if len(units) == 0:
-            continue
-        order = np.lexsort((keys, units))
-        batch = batch.take(pa.array(order))
-        units = units[order]
-        change = np.flatnonzero(units[1:] != units[:-1])
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(units)]))
-        for s, e in zip(starts, ends):
-            buf.setdefault(int(units[s]), []).append(batch.slice(s, e - s))
-    # train FSST tables ONCE per task from the largest buffered unit's
-    # string/binary columns; fragments reuse them (the per-fragment
-    # trial still falls back to plain if a table fits poorly)
-    fsst_tables = {}
-    if buf:
+    buf_bytes = 0
+    peak_bytes = 0
+    waves = 0
+    fsst_tables: dict | None = None
+    writer = _TaskPayloadWriter(payload_dir)
+    rows: dict[str, list] = {
+        k: []
+        for k in (
+            "unit", "first_key", "n_rows", "row_off", "bytes_in", "bytes_out",
+            "wall_ms", "codecs", "file", "offset", "length",
+        )
+    }
+
+    def train_fsst():
+        # train FSST tables ONCE per task, at the first flush, from the
+        # largest buffered unit's string/binary columns (≥64 KiB sample by
+        # construction); later fragments reuse them, and the per-fragment
+        # trial still falls back to plain if a table fits poorly
+        nonlocal fsst_tables
+        if fsst_tables is not None:
+            return
+        fsst_tables = {}
+        if not buf:
+            return
         biggest = max(buf.values(), key=lambda bs: sum(b.nbytes for b in bs))
         probe = pa.Table.from_batches(biggest)
         for field in probe.schema:
@@ -479,19 +502,18 @@ def _encode_stream(
 
                     fsst_tables[field.name] = fsst_train(sample)
 
-    writer = _TaskPayloadWriter(payload_dir)
-    rows: dict[str, list] = {
-        k: []
-        for k in (
-            "unit", "first_key", "n_rows", "row_off", "bytes_in", "bytes_out",
-            "wall_ms", "codecs", "file", "offset", "length",
-        )
-    }
-    try:
+    def flush_buffer():
+        # grouped flush of the whole buffer: unit order, consecutive
+        # unit-slices packed into ~chunk_rows-row chunks
+        nonlocal buf, buf_bytes, waves
+        if not buf:
+            return
+        train_fsst()
+        waves += 1
         pending: list[tuple[int, list]] = []  # (unit, batches) in unit order
         pending_rows = 0
 
-        def flush():
+        def flush_chunk():
             nonlocal pending, pending_rows
             if not pending:
                 return
@@ -538,10 +560,45 @@ def _encode_stream(
             pending.append((unit, bs))
             pending_rows += sum(b.num_rows for b in bs)
             if pending_rows >= chunk_rows:
-                flush()
-        flush()
+                flush_chunk()
+        flush_chunk()
+        buf = {}
+        buf_bytes = 0
+
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            units = assign_units_arrow(batch.column(key_col), plan_local)
+            keys = _fixed_width(batch.column(key_col))
+            if done_local.size:
+                keep = _resume_keep_mask(units, done_local)
+                if not keep.all():
+                    idx = np.flatnonzero(keep)
+                    batch = batch.take(pa.array(idx))
+                    units = units[keep]
+                    keys = keys[keep]
+            if len(units) == 0:
+                continue
+            order = np.lexsort((keys, units))
+            batch = batch.take(pa.array(order))
+            units = units[order]
+            change = np.flatnonzero(units[1:] != units[:-1])
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(units)]))
+            for s, e in zip(starts, ends):
+                sl = batch.slice(s, e - s)
+                buf.setdefault(int(units[s]), []).append(sl)
+            buf_bytes += batch.nbytes
+            peak_bytes = max(peak_bytes, buf_bytes)
+            if buf_bytes >= max_buffer_bytes:
+                flush_buffer()
+        flush_buffer()
     finally:
         writer.close()
+    if stats is not None:
+        stats["peak_buffer_bytes"] = peak_bytes
+        stats["flush_waves"] = waves
     if rows["unit"]:
         yield pa.RecordBatch.from_pydict(rows)
 
@@ -570,11 +627,14 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
     chunk_rows = cfg.chunk_rows
+    max_buf = cfg.max_buffer_bytes
 
     def map_encode(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
-        yield from _encode_stream(iterator, plan_local, done_local, key_col, payload_dir, chunk_rows)
+        yield from _encode_stream(
+            iterator, plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
+        )
 
     frags = df.mapInArrow(map_encode, FRAG_SCHEMA)
     return _finish_encode(spark, frags, plan, done, cfg)
@@ -610,6 +670,7 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
     chunk_rows = cfg.chunk_rows
+    max_buf = cfg.max_buffer_bytes
 
     def map_encode_files(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
@@ -626,7 +687,9 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
                         tbl = _timestamps_to_us(tbl)
                         yield from tbl.to_batches(max_chunksize=batch_rows)
 
-        yield from _encode_stream(batches(), plan_local, done_local, key_col, payload_dir, chunk_rows)
+        yield from _encode_stream(
+            batches(), plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
+        )
 
     # task granularity: cfg.map_tasks if pinned (benchmarks pin it so
     # every parallelism level runs identical per-task work), else ~4
