@@ -8,9 +8,12 @@ local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
 
 Extra keys: ``encode`` (GB/s + compressed-size ratio vs the Parquet/Snappy
 control — BASELINE.md rows 1-2) and ``scaling`` (the same encode job at
-N=1 and 4N=4 executors in ``local-cluster`` separate-JVM topology on
-identical input; efficiency = (gbps_4N/gbps_N)/4 — BASELINE.md row 4).
-Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip the scaling pair.
+each SCALE_PAIRS executor pair — primary 1 vs 4, corroboration 2 vs 8 —
+in ``local-cluster`` separate-JVM topology on identical input;
+efficiency = (gbps_4N/gbps_N)/4 on medians — BASELINE.md row 4; the
+block also carries the no-framework control's per-process rate table
+that justifies gating on the small pair).  Set
+SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip the scaling legs.
 
 Query timings use a ``noop``-format write as the action: ``count()``
 lets Catalyst prune projection expressions entirely (verified:
@@ -53,14 +56,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ROWS_PER_SF = 6_000_000  # webpages fixture rows per unit scale factor (~10 GB arrow/SF)
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-# scaling pair: N executors vs 4N executors, one core + one task slot
+# scaling pairs: N executors vs 4N executors, one core + one task slot
 # each, identical per-executor shape — only the executor COUNT scales,
-# which is what "add nodes" means.  16 map tasks = even waves at both
-# legs (16×1 and 4×4) with identical per-task work.
-SCALE_EXEC_N = 1
-SCALE_EXEC_4N = 4
+# which is what "add nodes" means.  16 map tasks = even waves at every
+# leg (16×1, 8×2, 4×4, 2×8) with identical per-task work.  The primary
+# gate pair is (1, 4); (2, 8) corroborates that the result is not an
+# artifact of the smallest pair (the host's memory subsystem throttles
+# wider legs — see the control table emitted with the results).
+SCALE_PAIRS = [(1, 4), (2, 8)]
+SCALE_EXEC_N, SCALE_EXEC_4N = SCALE_PAIRS[0]
 SCALE_N_MAP = 16
-DRIVER_CORES = 4  # dedicated driver "node" cores, same in both legs
+DRIVER_CORES = 4  # dedicated driver "node" cores, same in every leg
 
 
 def _sf_from_dir(d: str) -> float:
@@ -420,6 +426,65 @@ def _leg_summary(reps: list[dict]) -> dict:
     return out
 
 
+def _pair_block(lo: dict, hi: dict, lo_n: int, hi_n: int) -> dict:
+    """Scaling-evidence block for one (lo_n, hi_n) executor pair from two
+    leg summaries.  ``efficiency`` (the gate figure) is computed on the
+    MEDIAN over samples; best-of is reported beside it, never instead.
+    ``efficiency_vs_capacity`` divides by the pure-CPU capacity ratio the
+    host actually offered each leg; ``efficiency_vs_control`` divides by
+    the no-framework multiprocessing control's own scaling — the host's
+    practical ceiling — so ≈1.0 means the Spark job preserves the full
+    speedup plain multiprocessing achieves in the same pinned windows."""
+    factor = hi_n / lo_n
+    return {
+        "executors_n": lo_n,
+        "executors_4n": hi_n,
+        "cores_n": lo_n,
+        "cores_4n": hi_n,
+        "gbps_n": lo["gbps"],
+        "gbps_4n": hi["gbps"],
+        "gbps_n_median": lo["gbps_median"],
+        "gbps_4n_median": hi["gbps_median"],
+        "gbps_n_reps": lo["gbps_reps"],
+        "gbps_4n_reps": hi["gbps_reps"],
+        "efficiency": round((hi["gbps_median"] / lo["gbps_median"]) / factor, 4)
+        if lo["gbps_median"] else None,
+        "efficiency_best": round((hi["gbps"] / lo["gbps"]) / factor, 4)
+        if lo["gbps"] else None,
+        "capacity_n": lo["host_capacity"],
+        "capacity_4n": hi["host_capacity"],
+        "capacity_n_reps": lo["capacity_reps"],
+        "capacity_4n_reps": hi["capacity_reps"],
+        "efficiency_vs_capacity": (
+            round(
+                (hi["gbps_median"] / lo["gbps_median"])
+                / (hi["capacity_median"] / lo["capacity_median"]),
+                4,
+            )
+            if lo["gbps_median"] and lo["capacity_median"]
+            else None
+        ),
+        "mp_control_gbps_n": lo["mp_control_gbps"],
+        "mp_control_gbps_4n": hi["mp_control_gbps"],
+        "mp_control_reps_n": lo["mp_control_reps"],
+        "mp_control_reps_4n": hi["mp_control_reps"],
+        "efficiency_mp_control": (
+            round((hi["mp_control_median"] / lo["mp_control_median"]) / factor, 4)
+            if lo["mp_control_median"]
+            else None
+        ),
+        "efficiency_vs_control": (
+            round(
+                (hi["gbps_median"] / lo["gbps_median"])
+                / (hi["mp_control_median"] / lo["mp_control_median"]),
+                4,
+            )
+            if lo["gbps_median"] and lo["mp_control_median"]
+            else None
+        ),
+    }
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_rows = max(int(ROWS_PER_SF * sf), 5000)
@@ -469,7 +534,10 @@ def main() -> None:
             shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else workdir
             shm_work = tempfile.mkdtemp(prefix="upes_scalebench_", dir=shm_base)
             try:
-                levels = [SCALE_EXEC_N, SCALE_EXEC_4N]
+                # leg order interleaves pairs and never repeats a leg
+                # back-to-back (throughput decays across back-to-back
+                # runs while capacity stays flat)
+                levels = [c for pair in SCALE_PAIRS for c in pair]
                 # 2 subprocesses × 2 timed samples per leg: a median of 4
                 # cannot be dragged below the middle pair by one
                 # catastrophic sample (the host occasionally hands a leg
@@ -482,11 +550,11 @@ def main() -> None:
                             SCALE_N_MAP, f"r{r}x{n_exec}",
                             n_samples=2,
                             with_decode=False,
-                            warm_real=(n_exec == SCALE_EXEC_4N),
+                            warm_real=(n_exec >= 4),
                         )
                         rep_results[n_exec].append(rep)
                         os.sync()
-                runs = {c: _leg_summary(rep_results[c]) for c in levels}
+                runs = {c: _leg_summary(rep_results[c]) for c in rep_results}
             finally:
                 shutil.rmtree(shm_work, ignore_errors=True)
 
@@ -555,67 +623,32 @@ def main() -> None:
 
         if not skip_scaling:
             lo, hi = runs[SCALE_EXEC_N], runs[SCALE_EXEC_4N]
-            factor = SCALE_EXEC_4N / SCALE_EXEC_N
-            scaling = {
-                "topology": f"local-cluster[n,1,4096] — {SCALE_EXEC_N} vs "
-                            f"{SCALE_EXEC_4N} executor JVMs, 1 core/1 slot each, "
-                            f"driver JVM on {DRIVER_CORES} dedicated cores in both legs, "
-                            "payload on tmpfs (per-node storage emulation)",
-                "executors_n": SCALE_EXEC_N,
-                "executors_4n": SCALE_EXEC_4N,
-                "cores_n": SCALE_EXEC_N,
-                "cores_4n": SCALE_EXEC_4N,
-                "n_map": SCALE_N_MAP,
-                "gbps_n": lo["gbps"],
-                "gbps_4n": hi["gbps"],
-                "gbps_n_median": lo["gbps_median"],
-                "gbps_4n_median": hi["gbps_median"],
-                "gbps_n_reps": lo["gbps_reps"],
-                "gbps_4n_reps": hi["gbps_reps"],
-                # primary gate figure: median-over-samples (best-of is
-                # reported beside it, never instead of it)
-                "efficiency": round((hi["gbps_median"] / lo["gbps_median"]) / factor, 4)
-                if lo["gbps_median"] else None,
-                "efficiency_best": round((hi["gbps"] / lo["gbps"]) / factor, 4)
-                if lo["gbps"] else None,
-                # pure-CPU capacity the host offered each leg (probe just
-                # before each timed sample)
-                "capacity_n": lo["host_capacity"],
-                "capacity_4n": hi["host_capacity"],
-                "capacity_n_reps": lo["capacity_reps"],
-                "capacity_4n_reps": hi["capacity_reps"],
-                "efficiency_vs_capacity": (
-                    round(
-                        (hi["gbps_median"] / lo["gbps_median"])
-                        / (hi["capacity_median"] / lo["capacity_median"]),
-                        4,
-                    )
-                    if lo["gbps_median"] and lo["capacity_median"]
-                    else None
-                ),
-                # the identical work with NO framework (multiprocessing,
-                # BENCH/mp_control.py) inside each pinned leg window: its
-                # own N->4N efficiency is the host's practical ceiling;
-                # efficiency_vs_control = what fraction of that ceiling
-                # the Spark job preserves
-                "mp_control_gbps_n": lo["mp_control_gbps"],
-                "mp_control_gbps_4n": hi["mp_control_gbps"],
-                "mp_control_reps_n": lo["mp_control_reps"],
-                "mp_control_reps_4n": hi["mp_control_reps"],
-                "efficiency_mp_control": (
-                    round((hi["mp_control_median"] / lo["mp_control_median"]) / factor, 4)
-                    if lo["mp_control_median"]
-                    else None
-                ),
-                "efficiency_vs_control": (
-                    round(
-                        (hi["gbps_median"] / lo["gbps_median"])
-                        / (hi["mp_control_median"] / lo["mp_control_median"]),
-                        4,
-                    )
-                    if lo["gbps_median"] and lo["mp_control_median"]
-                    else None
-                ),
+            scaling = _pair_block(lo, hi, SCALE_EXEC_N, SCALE_EXEC_4N)
+            scaling["topology"] = (
+                f"local-cluster[n,1,4096] — executor-JVM counts "
+                f"{[p for p in SCALE_PAIRS]} (lo vs hi per pair), 1 core/1 slot "
+                f"each, driver JVM on {DRIVER_CORES} dedicated cores in every "
+                "leg, payload on tmpfs (per-node storage emulation)"
+            )
+            scaling["n_map"] = SCALE_N_MAP
+            # corroboration pairs beyond the primary (VERDICT r3 #3), each
+            # a self-contained block
+            scaling["pairs"] = {
+                f"{a}x{b}": _pair_block(runs[a], runs[b], a, b) for a, b in SCALE_PAIRS
+            }
+            # the evidence that justifies gating on the SMALL pair: the
+            # no-framework control's per-process rate collapses as
+            # concurrency grows (one shared memory controller on this
+            # host; a real cluster's 4N nodes bring 4N memory channels).
+            # Self-contained here per VERDICT r3 #8.
+            scaling["control_per_proc_table"] = {
+                str(c): {
+                    "procs": c,
+                    "mp_control_gbps_median": runs[c]["mp_control_median"],
+                    "per_proc_gbps": round(runs[c]["mp_control_median"] / c, 4)
+                    if runs[c]["mp_control_median"] else None,
+                }
+                for c in sorted(runs)
             }
 
         result["queries"] = queries

@@ -460,6 +460,30 @@ def test_encode_job_capped_buffer_roundtrip(spark, webpages, outdir):
     assert _mismatches(webpages, dec) == 0
 
 
+def test_encode_job_decimal_column_roundtrip(spark, outdir):
+    """DECIMAL(10,2) through the whole distributed pipeline (the
+    reference's money type, tests/test_query_executor_realDB.py:98):
+    encode_job → decode_dataset must reproduce values exactly, and the
+    chunk layer must have routed them as scaled ints (dscale)."""
+    import decimal as _d
+    import json as _json
+
+    rows = [(f"k{i:05d}", _d.Decimal(i * 7919 % 100000).scaleb(-2), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "url string, price decimal(10,2), n long")
+    cfg = EncodeJobConfig(output_dir=outdir, key_col="url", size_cols=(), target_unit_bytes=1 << 20)
+    metrics = encode_job(spark, df, cfg)
+    assert metrics["rows"] == 4000
+    dec = decode_dataset(spark, outdir)
+    assert dec.schema["price"].dataType.simpleString() == "decimal(10,2)"
+    joined = df.alias("a").join(dec.alias("b"), "url")
+    bad = joined.where(~F.col("a.price").eqNullSafe(F.col("b.price"))).count()
+    assert bad == 0 and joined.count() == 4000
+    codecs = _json.loads(
+        spark.read.parquet(os.path.join(outdir, "data")).select("codecs").first().codecs
+    )
+    assert codecs["price"] == "dscale"
+
+
 def test_units_for_key_range_non_ascii_prefix_boundary():
     """Keys whose UTF-8 bytes straddle the KEY_WIDTH prefix (multibyte
     codepoint cut mid-sequence by truncation) must still satisfy the
