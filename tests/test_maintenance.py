@@ -92,15 +92,25 @@ def test_vacuum_reclaims_dead_files_and_orphan_rows(spark, webpages, outdir):
     surviving = set(os.listdir(pdir))
     assert not (surviving & dead_names)
 
-    # manifest now orphan-free; decode bit-identical to pre-crash
-    data = spark.read.parquet(os.path.join(outdir, "data"))
+    # CURRENT manifest (pointer-resolved) now orphan-free; the retired
+    # dir is still on disk for in-flight readers; decode bit-identical
+    from universal_parquet_exporter_spark.encode.pipeline import manifest_dir
+
+    cur = manifest_dir(outdir)
+    assert os.path.basename(cur) == "data_v1"
+    data = spark.read.parquet(cur)
     assert data.where("run_id = 'deadbeef0000'").count() == 0
+    assert os.path.isdir(os.path.join(outdir, "data"))  # retired, kept
     after = decode_dataset(spark, outdir).orderBy("url").collect()
     assert after == baseline
 
-    # idempotent: a second sweep finds nothing
+    # a second sweep finds no dead files/orphans and retires the old dir
+    # (horizon 0 → immediately eligible)
     rep2 = vacuum(spark, outdir)
     assert rep2["deleted_files"] == 0 and rep2["orphan_manifest_rows"] == 0
+    assert rep2["retired_manifest_dirs"] == 1
+    assert not os.path.exists(os.path.join(outdir, "data"))
+    assert decode_dataset(spark, outdir).orderBy("url").collect() == baseline
 
 
 def test_vacuum_horizon_spares_recent_files(spark, webpages, outdir):
@@ -238,6 +248,51 @@ def test_decode_key_range_after_vacuum_without_rewrite(spark, webpages, outdir):
     got = decode_dataset(spark, outdir, key_range=(lo, hi))
     expect = webpages.where((F.col("url") >= lo) & (F.col("url") <= hi))
     assert got.count() == expect.count()
+
+
+def test_vacuum_rewrite_pointer_swap_and_crash_recovery(spark, webpages, outdir):
+    """Versioned-rewrite semantics: (a) a horizoned rewrite keeps the
+    retired manifest on disk until the pointer is older than the
+    horizon — a reader that resolved it pre-swap can still finish;
+    (b) a rewrite that crashed AFTER writing its new dir but BEFORE the
+    pointer swap leaves the pointer on the old manifest and the
+    unreferenced dir is swept once aged."""
+    from universal_parquet_exporter_spark.encode.pipeline import manifest_dir
+
+    cfg = EncodeJobConfig(output_dir=outdir, target_unit_bytes=2 << 20)
+    encode_job(spark, webpages, cfg)
+    baseline = decode_dataset(spark, outdir).orderBy("url").collect()
+    _crash_after_manifest_commit(spark, webpages, outdir)
+    # age everything so the orphan rows qualify under a 1h horizon
+    past = time.time() - 7200
+    for sub in ("data", "payload"):
+        d = os.path.join(outdir, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (past, past))
+
+    rep = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep["manifest_rewritten"] is True
+    assert manifest_dir(outdir).endswith("data_v1")
+    # retired dir survives this sweep AND an immediate next one (the
+    # pointer is fresh — younger than the horizon)
+    rep2 = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep2["retired_manifest_dirs"] == 0
+    assert os.path.isdir(os.path.join(outdir, "data"))
+    assert decode_dataset(spark, outdir).orderBy("url").collect() == baseline
+
+    # crashed rewrite: unreferenced data_v9 beside a valid pointer
+    import shutil as _sh
+
+    _sh.copytree(os.path.join(outdir, "data"), os.path.join(outdir, "data_v9"))
+    for f in os.listdir(os.path.join(outdir, "data_v9")):
+        os.utime(os.path.join(outdir, "data_v9", f), (past, past))
+    rep3 = vacuum(spark, outdir, older_than_sec=3600)
+    assert os.path.isdir(os.path.join(outdir, "data_v9"))  # pointer still young
+    os.utime(os.path.join(outdir, "manifest_current"), (past, past))
+    rep4 = vacuum(spark, outdir, older_than_sec=3600)
+    assert rep4["retired_manifest_dirs"] == 2  # data + data_v9
+    assert not os.path.exists(os.path.join(outdir, "data_v9"))
+    assert decode_dataset(spark, outdir).orderBy("url").collect() == baseline
 
 
 def test_vacuum_heals_interrupted_swap(spark, webpages, outdir):

@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 import time
 
-from .pipeline import _payload_fs
+from .pipeline import _payload_fs, manifest_dir, set_manifest_dir
 
 
 def _list_payload_files(payload_dir: str) -> list[tuple[str, int, float]]:
@@ -160,6 +160,70 @@ def _heal_interrupted_swap(data_dir: str) -> None:
                 fs.delete_dir(tmp)
 
 
+def _ptr_mtime(output_dir: str) -> float | None:
+    """mtime of the manifest_current pointer file, or None if absent."""
+    fs, root = _payload_fs(output_dir)
+    if fs is None:
+        p = os.path.join(root, "manifest_current")
+        return os.path.getmtime(p) if os.path.exists(p) else None
+    from pyarrow.fs import FileType
+
+    info = fs.get_file_info(f"{root}/manifest_current")
+    if info.type != FileType.File:
+        return None
+    return info.mtime.timestamp() if info.mtime is not None else 0.0
+
+
+def _sweep_retired_manifests(
+    output_dir: str, current_dir: str, now: float, older_than_sec: float
+) -> int:
+    """Delete manifest directories no longer referenced by the pointer —
+    retired by a rewrite, or left by a rewrite that crashed before its
+    pointer swap — once old enough that any reader which resolved them
+    has had ``older_than_sec`` to finish.  Age is measured from the
+    NEWEST of the pointer mtime (= last swap, when dirs retire) and the
+    dir's own newest file (covers crashed unreferenced rewrites)."""
+    import re
+    import shutil
+
+    cur_name = os.path.basename(current_dir.rstrip("/"))
+    ptr_m = _ptr_mtime(output_dir)
+    fs, root = _payload_fs(output_dir)
+    names: list[str] = []
+    if fs is None:
+        if os.path.isdir(root):
+            names = [e.name for e in os.scandir(root) if e.is_dir(follow_symlinks=False)]
+    else:
+        from pyarrow.fs import FileSelector, FileType
+
+        names = [
+            i.base_name
+            for i in fs.get_file_info(FileSelector(root, allow_not_found=True))
+            if i.type == FileType.Directory
+        ]
+    swept = 0
+    for name in names:
+        if name == cur_name or not re.fullmatch(r"data(_v\d+)?", name):
+            continue
+        # listing goes through the scheme-qualified path (so URI datasets
+        # resolve the right filesystem); deletion uses the resolved one
+        d_list = (
+            os.path.join(output_dir, name) if "://" not in output_dir
+            else f"{output_dir}/{name}"
+        )
+        newest = max((m for _n, _s, m in _list_payload_files(d_list)), default=0.0)
+        if ptr_m is not None:
+            newest = max(newest, ptr_m)
+        if (now - newest) < older_than_sec:
+            continue
+        if fs is None:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        else:
+            fs.delete_dir(f"{root}/{name}")
+        swept += 1
+    return swept
+
+
 def vacuum(
     spark,
     output_dir: str,
@@ -178,21 +242,23 @@ def vacuum(
     than it — an in-flight run that has committed its manifest but not
     yet its lineage is exactly a young orphan, and dropping its rows
     would lose data it is about to commit.  ``rewrite_manifest``
-    rewrites ``data/`` without the old-enough orphan rows via a
-    temp-dir + two-rename swap; the swap is crash-RECOVERABLE, not
-    atomic (vacuum heals an interrupted swap on its next run, and
-    ``_heal_interrupted_swap`` can be called directly), and a reader
-    racing the swap window can momentarily see a missing dir — run the
-    rewrite in a maintenance window, or leave it False on object stores
-    and let orphan rows age out as scan noise.  ``dry_run`` reports
-    without deleting.
+    writes the orphan-free manifest to a NEW versioned directory
+    (``data_v<N>``) and atomically swaps the ``manifest_current``
+    pointer to it — the Iceberg version-hint pattern: a concurrent
+    reader resolves either the old manifest (kept on disk) or the new
+    one, both complete, and a crash mid-rewrite leaves the pointer on
+    the old manifest with only an unreferenced new dir behind (swept
+    later).  Retired manifest dirs are deleted by a LATER vacuum once
+    the pointer is older than the horizon — guaranteeing every reader
+    that resolved them has had ``older_than_sec`` to finish.
+    ``dry_run`` reports without deleting.
 
     Returns counts + reclaimed bytes; decode results are unchanged by
     construction (only never-read data is touched — pytest-gated by a
     crash-mid-commit round trip in ``tests/test_maintenance.py``)."""
     from pyspark.sql import functions as F
 
-    data_dir = os.path.join(output_dir, "data")
+    data_dir = manifest_dir(output_dir)
     lineage_dir = os.path.join(output_dir, "lineage")
     payload_dir = os.path.join(output_dir, "payload")
     # the horizon compares against STORAGE mtimes, so 'now' comes from the
@@ -201,7 +267,11 @@ def vacuum(
     # mtime, this falls back to driver time and older_than_sec must
     # exceed the longest in-flight job PLUS worst-case clock skew.
     now = _storage_now(output_dir)
+    # heal pre-pointer two-rename leftovers (legacy layout upgrades)
     _heal_interrupted_swap(data_dir)
+    retired_swept = 0 if dry_run else _sweep_retired_manifests(
+        output_dir, data_dir, now, older_than_sec
+    )
 
     committed = (
         spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit", "run_id")
@@ -248,34 +318,35 @@ def vacuum(
     orphan_rows = int(orphans.count())
     rewrote = False
     if orphan_rows and rewrite_manifest and not dry_run:
-        tmp_dir = data_dir + ".vacuum_tmp"
-        old_dir = data_dir + ".vacuum_old"
-        live.write.mode("overwrite").parquet(tmp_dir)
-        fs, _ = _payload_fs(data_dir)
-        if fs is None:
-            os.rename(data_dir, old_dir)
-            os.rename(tmp_dir, data_dir)
-            import shutil
-
-            shutil.rmtree(old_dir, ignore_errors=True)
-        else:
-            _, d = _payload_fs(data_dir)
-            _, t = _payload_fs(tmp_dir)
-            _, o = _payload_fs(old_dir)
-            fs.move(d, o)
-            fs.move(t, d)
-            fs.delete_dir(o)
+        # versioned rewrite + atomic pointer swap: write the orphan-free
+        # manifest to data_v<N+1>, then flip manifest_current.  The old
+        # dir stays on disk (readers that already resolved it finish
+        # unharmed) and is deleted by a later horizoned vacuum.
+        cur = os.path.basename(data_dir.rstrip("/"))
+        ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
+        new_name = f"data_v{ver + 1}"
+        new_dir = (
+            os.path.join(output_dir, new_name)
+            if "://" not in output_dir
+            else f"{output_dir}/{new_name}"
+        )
+        live.write.mode("overwrite").parquet(new_dir)
+        set_manifest_dir(output_dir, new_name)
         rewrote = True
 
-    # stale plan.json temp files from crashed planners (both fs paths —
-    # the pyarrow.fs plan commit writes the same tmp names)
+    # stale temp files from crashed commits: plan.json.tmp* (planner) and
+    # manifest_current.tmp* (pointer swap) — both fs paths write the same
+    # tmp names
+    def _is_stale_tmp(name: str) -> bool:
+        return name.startswith("plan.json.tmp") or name.startswith("manifest_current.tmp")
+
     stale_tmp = []
     fs, root = _payload_fs(output_dir)
     if fs is None:
         if os.path.isdir(root):
             stale_tmp = [
                 f for f in os.listdir(root)
-                if f.startswith("plan.json.tmp")
+                if _is_stale_tmp(f)
                 and (now - os.path.getmtime(os.path.join(root, f))) >= older_than_sec
             ]
             if not dry_run:
@@ -285,7 +356,7 @@ def vacuum(
         from pyarrow.fs import FileSelector, FileType
 
         for info in fs.get_file_info(FileSelector(root, allow_not_found=True)):
-            if info.type != FileType.File or not info.base_name.startswith("plan.json.tmp"):
+            if info.type != FileType.File or not _is_stale_tmp(info.base_name):
                 continue
             mt = info.mtime.timestamp() if info.mtime is not None else 0.0
             if (now - mt) >= older_than_sec:
@@ -300,6 +371,7 @@ def vacuum(
         "reclaimed_bytes": int(reclaimed),
         "orphan_manifest_rows": orphan_rows,
         "manifest_rewritten": rewrote,
+        "retired_manifest_dirs": retired_swept,
         "stale_plan_tmp": len(stale_tmp),
         "dry_run": dry_run,
     }

@@ -246,6 +246,56 @@ def _load_plan(output_dir: str) -> EncodePlan | None:
         return EncodePlan.from_json(f.read().decode())
 
 
+_MANIFEST_PTR = "manifest_current"
+
+
+def manifest_dir(output_dir: str) -> str:
+    """Resolve the CURRENT manifest directory via the version pointer —
+    the Iceberg version-hint pattern.  ``manifest_current`` names the
+    live manifest dir (``data`` by default; vacuum's rewrite creates
+    ``data_v<N>`` and swaps the pointer atomically), so a reader never
+    observes a missing or half-swapped directory: it sees either the old
+    manifest (still on disk until the next horizoned sweep) or the new
+    one, both complete."""
+    fs, root = _payload_fs(output_dir)
+    if fs is None:
+        p = os.path.join(root, _MANIFEST_PTR)
+        if os.path.exists(p):
+            with open(p) as f:
+                name = f.read().strip()
+                if name:
+                    return os.path.join(output_dir, name)
+    else:
+        from pyarrow.fs import FileType
+
+        p = f"{root}/{_MANIFEST_PTR}"
+        if fs.get_file_info(p).type == FileType.File:
+            with fs.open_input_file(p) as f:
+                name = f.read().decode().strip()
+                if name:
+                    return f"{output_dir}/{name}"
+    return os.path.join(output_dir, "data")
+
+
+def set_manifest_dir(output_dir: str, name: str) -> None:
+    """Atomically point ``manifest_current`` at ``name`` (temp-write +
+    rename/move — the same commit idiom as the plan file)."""
+    fs, root = _payload_fs(output_dir)
+    if fs is None:
+        p = os.path.join(root, _MANIFEST_PTR)
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+    else:
+        tmp = f"{root}/{_MANIFEST_PTR}.tmp{os.getpid()}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(name.encode())
+        fs.move(tmp, f"{root}/{_MANIFEST_PTR}")
+
+
 def _dir_exists(path: str) -> bool:
     fs, p = _payload_fs(path)
     if fs is None:
@@ -718,7 +768,7 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     from pyspark.sql import functions as F
 
     n_units = plan.n_units
-    data_dir = os.path.join(cfg.output_dir, "data")
+    data_dir = manifest_dir(cfg.output_dir)
     t_stage = time.perf_counter()
     (
         frags.withColumn("run_id", F.lit(cfg.run_id))
@@ -797,7 +847,7 @@ def decode_dataset(
     residual filter needs it)."""
     from pyspark.sql import functions as F
 
-    data_dir = os.path.join(output_dir, "data")
+    data_dir = manifest_dir(output_dir)
     payload_dir = os.path.join(output_dir, "payload")
     committed = (
         spark.read.parquet(os.path.join(output_dir, "lineage"))
