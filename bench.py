@@ -20,7 +20,11 @@ lets Catalyst prune projection expressions entirely (verified:
 ``select(md5(text)).count()`` optimizes to ``Aggregate [count(1)] ←
 Project[] ← Scan``), so projection-only queries would measure scan
 speed, not expression cost.  The noop sink evaluates every output
-column and discards the rows JVM-side.
+column and discards the rows JVM-side.  Each query runs twice (round
+4): ``queries`` holds the second, WARM pass — steady-state operator
+cost — and ``queries_cold`` the first pass, whose extra cost is
+suite-order-dependent kernel fault/JIT overhead, not operator cost
+(measured 13x on one subplan, BENCH/ngram_ab_r4.json).
 
 Scaling topology (round 3): each leg is a fresh pinned subprocess
 running ``local-cluster[n_exec,1,4096]`` — real separate executor JVMs,
@@ -77,18 +81,30 @@ def _sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(warm, cold) per-query wall seconds.
+
+    Each query runs twice back-to-back; the SECOND (warm) pass is the
+    headline `queries` figure — operator cost in a long-running session —
+    and the first-pass times ship beside it as `queries_cold`.  Measured
+    (BENCH/ngram_ab_r4.json): on this fault-expensive kernel the first
+    execution of a heavy shape pays page-fault/JIT cost unrelated to the
+    operator (ngram prefix subplan 18.7 s cold vs 1.46 s warm), and which
+    query pays it depends on SUITE ORDER — r2→r3 'regressions' were
+    order artifacts.  Warm-vs-cold is reported, never hidden."""
     import __spark_entry__ as em
 
-    timings = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     spark.range(10).count()  # session warmup outside any timing
     for name, fn in em.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: full expression evaluation, rows discarded JVM-side
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    return timings
+        for target in (cold, warm):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: full expression evaluation, rows discarded JVM-side
+            df.write.format("noop").mode("overwrite").save()
+            target[name] = round(time.perf_counter() - t0, 4)
+    return warm, cold
 
 
 def encode_bench(
@@ -256,9 +272,9 @@ def queries_main(argv: list[str]) -> None:
     spark = build_session(app_name="upes-bench-queries", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, CPUS)
-    timings = run_queries(spark, sf_dir)
+    warm, cold = run_queries(spark, sf_dir)
     spark.stop()
-    print("QJSON " + json.dumps(timings))
+    print("QJSON " + json.dumps({"warm": warm, "cold": cold}))
 
 
 def gen_fixture_main(argv: list[str]) -> None:
@@ -651,7 +667,11 @@ def main() -> None:
                 for c in sorted(runs)
             }
 
-        result["queries"] = queries
+        # headline per-query figures are the WARM pass (steady-state
+        # operator cost); first-run times ship beside them — see
+        # run_queries' docstring for the measured cold/warm attribution
+        result["queries"] = queries["warm"]
+        result["queries_cold"] = queries["cold"]
         result["encode"] = enc
         result["scaling"] = scaling
         result["value"] = round(time.perf_counter() - total_t0, 3)

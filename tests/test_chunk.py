@@ -117,6 +117,29 @@ def test_decimal_negative_null_and_sliced():
     assert_identical(decode_array(meta, bufs), sliced)
 
 
+def test_decimal_property_roundtrip():
+    """Hypothesis sweep over decimal128 arrays spanning the dscale/plain
+    boundary (values straddling ±2^63 unscaled), nulls included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    small = st.integers(min_value=-(2**62), max_value=2**62)
+    big = st.integers(min_value=2**63, max_value=2**90)
+    elem = st.one_of(st.none(), small, big, big.map(lambda v: -v))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(elem, min_size=0, max_size=200))
+    def run(vals):
+        src = pa.array(
+            [None if v is None else decimal.Decimal(v).scaleb(-2) for v in vals],
+            type=pa.decimal128(38, 2),
+        )
+        meta, bufs = encode_array("c", src)
+        assert_identical(decode_array(meta, bufs), src)
+
+    run()
+
+
 def test_sliced_array_roundtrip():
     src = pa.array(["abc", "de", None, "fgh", "ij"] * 100)
     sliced = src.slice(3, 250)

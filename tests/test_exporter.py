@@ -65,6 +65,32 @@ def test_per_query_error_isolation_and_summary(spark, outdir):
     assert rows["good"].total_exports == 3
 
 
+def test_export_encoded_roundtrip(spark, outdir):
+    """export_encoded routes a query result through the REAL engine
+    (containers + manifest + lineage under the export dir) and the
+    decoded table matches the source exactly — the sink that supersedes
+    the reference's Parquet writer."""
+    from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
+
+    df = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "customer.parquet"))
+        .select(F.col("c_custkey").cast("string").alias("ck"), "c_name", "c_mktsegment")
+    )
+    with ParquetExporter(spark, outdir) as ex:
+        res = ex.export_encoded("customers_enc", df, key_col="ck", target_unit_bytes=1 << 20)
+    assert res.ok and res.rows == df.count()
+    assert os.path.isdir(os.path.join(res.path, "payload"))
+    assert os.path.isdir(os.path.join(res.path, "lineage"))
+    back = decode_dataset(spark, res.path)
+    assert back.count() == res.rows
+    j = df.alias("a").join(back.alias("b"), "ck")
+    assert j.where(~F.col("a.c_name").eqNullSafe(F.col("b.c_name"))).count() == 0
+    # error isolation holds on the encoded path too
+    with ParquetExporter(spark, outdir) as ex:
+        bad = ex.export_encoded("boom", df, key_col="no_such_column")
+    assert not bad.ok and bad.error
+
+
 def test_timestamped_directory():
     import datetime
 

@@ -538,3 +538,16 @@ def test_decode_key_range_empty_and_inverted(spark, webpages, outdir):
     one = webpages.select("url").orderBy("url").limit(1).collect()[0].url
     got = decode_dataset(spark, outdir, key_range=(one, one))
     assert got.count() == webpages.where(F.col("url") == one).count()
+
+    # column pruning COMBINED with key-range pruning: both prunes apply,
+    # values exact
+    from universal_parquet_exporter_spark.encode.pipeline import _load_plan
+
+    plan = _load_plan(outdir)
+    lo, hi = plan.boundaries[0], plan.boundaries[-1]
+    sub = decode_dataset(spark, outdir, columns=["url", "lang"], key_range=(lo, hi))
+    assert sub.columns == ["url", "lang"]
+    expect = webpages.where((F.col("url") >= lo) & (F.col("url") <= hi)).select("url", "lang")
+    assert sub.count() == expect.count()
+    j = expect.alias("a").join(sub.alias("b"), "url")
+    assert j.where(~F.col("a.lang").eqNullSafe(F.col("b.lang"))).count() == 0

@@ -92,6 +92,7 @@ def test_encode_config_from_environment(monkeypatch):
     monkeypatch.setenv("UPES_ENCODE_TARGET_UNIT_BYTES", str(128 << 20))
     monkeypatch.setenv("UPES_ENCODE_CHUNK_ROWS", "16384")
     monkeypatch.setenv("UPES_ENCODE_MAP_TASKS", "56")
+    monkeypatch.setenv("UPES_ENCODE_MAX_BUFFER_BYTES", str(64 << 20))
     cfg = EncodeJobConfig.from_environment()
     assert cfg.output_dir == "/data/out"
     assert cfg.key_col == "page_url"
@@ -99,6 +100,7 @@ def test_encode_config_from_environment(monkeypatch):
     assert cfg.target_unit_bytes == 128 << 20
     assert cfg.chunk_rows == 16384
     assert cfg.map_tasks == 56
+    assert cfg.max_buffer_bytes == 64 << 20
     assert cfg.run_id  # generated
 
 

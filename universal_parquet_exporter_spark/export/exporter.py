@@ -93,6 +93,30 @@ class ParquetExporter:
             return res
         return self.export(name, df)
 
+    def export_encoded(self, name: str, df: DataFrame, key_col: str, **cfg_kwargs) -> ExportResult:
+        """Export through the ENGINE instead of Parquet/Snappy: the query
+        result lands as codec containers + manifest + lineage under
+        ``{output_dir}/{name}`` (resumable, key-range decodable via
+        :func:`..encode.pipeline.decode_dataset`).  This is the sink that
+        supersedes the reference's writer — same workflow surface, the
+        engine's storage format.  Extra kwargs flow to
+        :class:`..encode.pipeline.EncodeJobConfig` (``size_cols``,
+        ``target_unit_bytes``, ``max_buffer_bytes``, ...)."""
+        from ..encode.pipeline import EncodeJobConfig, encode_job
+
+        path = os.path.join(self.output_dir, name)
+        t0 = time.perf_counter()
+        try:
+            cfg = EncodeJobConfig(output_dir=path, key_col=key_col, **cfg_kwargs)
+            metrics = encode_job(self.spark, df, cfg)
+            res = ExportResult(
+                name, path, int(metrics["rows"]), round(time.perf_counter() - t0, 3), True
+            )
+        except Exception as e:  # per-query isolation (A11)
+            res = ExportResult(name, path, 0, round(time.perf_counter() - t0, 3), False, str(e)[:500])
+        self.results.append(res)
+        return res
+
     def write_summary(self) -> str:
         """Persist the summary record as Parquet (A13)."""
         path = os.path.join(self.output_dir, "_export_summary")
