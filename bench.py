@@ -560,7 +560,13 @@ def main() -> None:
                 # a ~2x-slow window)
                 rep_results: dict[int, list] = {c: [] for c in levels}
                 for r in range(2):
-                    for n_exec in levels:
+                    # position-balance across rounds (forward, then
+                    # reversed): each leg's two subprocesses sit at
+                    # mirrored positions in the round, so slot-in-round
+                    # effects (writeback accumulation from earlier legs)
+                    # hit every leg symmetrically instead of always
+                    # taxing the same one
+                    for n_exec in (levels if r % 2 == 0 else levels[::-1]):
                         rep = _run_scale_leg_subprocess(
                             "lc", n_exec, input_parquet, warm_parquet, shm_work,
                             SCALE_N_MAP, f"r{r}x{n_exec}",

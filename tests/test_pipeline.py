@@ -460,6 +460,71 @@ def test_encode_job_capped_buffer_roundtrip(spark, webpages, outdir):
     assert _mismatches(webpages, dec) == 0
 
 
+def test_decode_filters_zone_map_pruning(spark, outdir):
+    """Per-chunk min/max zone maps (the parquet row-group-stats analog):
+    a numeric/string predicate prunes chunks whose recorded bounds can't
+    match BEFORE any payload read, the residual keeps results exact, and
+    conjunctions compose."""
+    rows = [(f"k{i:06d}", i, "en" if i % 3 else "de", "x" * 50) for i in range(20000)]
+    df = spark.createDataFrame(rows, "url string, n long, lang string, pad string")
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="url", size_cols=("pad",),
+        target_unit_bytes=64 << 10, chunk_rows=2048,
+    )
+    encode_job(spark, df, cfg)
+    manifest = spark.read.parquet(os.path.join(outdir, "data"))
+    total = manifest.count()
+    assert "stats" in manifest.columns
+
+    got = decode_dataset(spark, outdir, filters=[("n", ">=", 19000)])
+    assert got.count() == 1000
+    assert got.agg(F.min("n")).collect()[0][0] == 19000
+    # pruning evidence: few chunks can contain n >= 19000 (keys sort by
+    # url == by n, so chunk ranges are disjoint)
+    import json as _json
+
+    qualifying = sum(
+        1 for r in manifest.select("stats").collect()
+        if _json.loads(r.stats)["n"][1] >= 19000
+    )
+    assert qualifying < total // 4
+
+    # string bound + conjunction; exactness vs the source
+    both = decode_dataset(
+        spark, outdir, filters=[("url", ">=", "k018000"), ("n", "<", 18500)]
+    )
+    expect = df.where((F.col("url") >= "k018000") & (F.col("n") < 18500))
+    assert both.count() == expect.count() == 500
+
+    # equality + column pruning together (filter col must be requested)
+    eq = decode_dataset(spark, outdir, columns=["url", "n"], filters=[("n", "==", 7)])
+    assert [r.url for r in eq.collect()] == ["k000007"]
+    with pytest.raises(ValueError, match="in columns"):
+        decode_dataset(spark, outdir, columns=["url"], filters=[("n", "==", 7)])
+    with pytest.raises(ValueError, match="filter op"):
+        decode_dataset(spark, outdir, filters=[("n", "!=", 7)])
+    with pytest.raises(ValueError, match="not in dataset"):
+        decode_dataset(spark, outdir, filters=[("nope", ">", 1)])
+
+
+def test_decode_filters_backcompat_without_stats(spark, outdir):
+    """Datasets encoded before zone maps existed (no stats column) must
+    decode with filters — residual only, no pruning, exact results."""
+    rows = [(f"k{i:04d}", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "url string, n long")
+    cfg = EncodeJobConfig(output_dir=outdir, key_col="url", size_cols=(), target_unit_bytes=1 << 20)
+    encode_job(spark, df, cfg)
+    data_dir = os.path.join(outdir, "data")
+    legacy = spark.read.parquet(data_dir).drop("stats").cache()
+    legacy.count()
+    shutil.rmtree(data_dir)
+    legacy.write.parquet(data_dir)
+    legacy.unpersist()
+
+    got = decode_dataset(spark, outdir, filters=[("n", "<", 100)])
+    assert got.count() == 100
+
+
 def test_encode_job_decimal_column_roundtrip(spark, outdir):
     """DECIMAL(10,2) through the whole distributed pipeline (the
     reference's money type, tests/test_query_executor_realDB.py:98):

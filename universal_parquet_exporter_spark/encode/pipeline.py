@@ -65,8 +65,49 @@ from .container import deserialize_chunk, serialize_chunk
 # files straight to storage, Spark commits only the manifest.
 FRAG_SCHEMA = (
     "unit long, first_key string, n_rows long, row_off long, bytes_in long, "
-    "bytes_out long, wall_ms double, codecs string, file string, offset long, length long"
+    "bytes_out long, wall_ms double, codecs string, file string, offset long, length long, "
+    "stats string"
 )
+
+_STATS_STR_MAX = 64  # string bound length cap (see _chunk_stats)
+
+
+def _chunk_stats(tbl: pa.Table) -> str:
+    """Per-chunk zone map: JSON ``{col: [min, max]}`` over int/float/
+    string columns — the engine's analog of parquet row-group statistics,
+    consumed by :func:`decode_dataset`'s ``filters`` pruning.  A ``null``
+    bound means unbounded on that side (never wrongly prunes):
+    - long string minima are TRUNCATED (a prefix is still a valid lower
+      bound); long string maxima are dropped (truncating a max would
+      understate it and prune chunks that match — the parquet pitfall);
+    - float columns containing NaN record no bounds (NaN breaks total
+      order);
+    - all-null columns record no bounds."""
+    import math
+
+    import pyarrow.compute as pc
+
+    stats: dict[str, list] = {}
+    for field in tbl.schema:
+        t = field.type
+        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or is_str):
+            continue
+        col = tbl.column(field.name)
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            continue
+        if pa.types.is_floating(t) and (math.isnan(mn) or math.isnan(mx)):
+            continue
+        if is_str:
+            mn = mn[:_STATS_STR_MAX]
+            if len(mx) > _STATS_STR_MAX:
+                mx = None
+        stats[field.name] = [mn, mx]
+    return json.dumps(stats, separators=(",", ":"))
 
 
 def _payload_fs(path: str):
@@ -524,7 +565,7 @@ def _encode_stream(
         k: []
         for k in (
             "unit", "first_key", "n_rows", "row_off", "bytes_in", "bytes_out",
-            "wall_ms", "codecs", "file", "offset", "length",
+            "wall_ms", "codecs", "file", "offset", "length", "stats",
         )
     }
 
@@ -571,6 +612,7 @@ def _encode_stream(
             tbl = pa.Table.from_batches([b for _, bs in pending for b in bs])
             payload, report = serialize_chunk(tbl, fsst_tables)
             fname, off, length = writer.write(payload)
+            stats_json = _chunk_stats(tbl)
             wall = (time.perf_counter() - t0) * 1000
             codecs = json.dumps({c["name"]: c["codec"] for c in report["columns"]})
             # prorate chunk-level byte/wall totals across its unit-slices
@@ -601,6 +643,7 @@ def _encode_stream(
                 rows["file"].append(fname)
                 rows["offset"].append(off)
                 rows["length"].append(length)
+                rows["stats"].append(stats_json)
                 row_off += n_u
             pending = []
             pending_rows = 0
@@ -825,11 +868,15 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     }
 
 
+_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+
 def decode_dataset(
     spark,
     output_dir: str,
     columns: list[str] | None = None,
     key_range: tuple[str | None, str | None] | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
 ):
     """Read the encoded dataset back as a DataFrame of original rows.
 
@@ -844,19 +891,34 @@ def decode_dataset(
     payload bytes are never read, the engine's partition-pruning analog
     — then applies the exact full-precision filter on the decoded key
     column.  With ``columns``, the key column must be included (the
-    residual filter needs it)."""
+    residual filter needs it).
+
+    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = ==``, terms
+    AND-ed) prunes CHUNKS by the per-chunk min/max zone maps the encoder
+    records in the manifest (:func:`_chunk_stats` — the parquet
+    row-group-statistics analog, orthogonal to key_range's unit
+    pruning): a chunk whose recorded bounds cannot satisfy a term is
+    skipped before any payload byte is read, a null/absent bound never
+    prunes, and the exact predicate is re-applied to the decoded rows.
+    Filter columns must be included in ``columns`` when both are given;
+    datasets encoded before zone maps existed decode fine (no stats
+    column → no pruning)."""
     from pyspark.sql import functions as F
 
     data_dir = manifest_dir(output_dir)
     payload_dir = os.path.join(output_dir, "payload")
+    raw_manifest = spark.read.parquet(data_dir)
+    has_stats = "stats" in raw_manifest.columns
+    sel = ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows"]
+    if has_stats:
+        sel.append("stats")
     committed = (
         spark.read.parquet(os.path.join(output_dir, "lineage"))
         .where("status = 'ok'")
         .select("unit", "run_id")
     )
     enc = (
-        spark.read.parquet(data_dir)
-        .select("unit", "run_id", "file", "offset", "length", "row_off", "n_rows")
+        raw_manifest.select(*sel)
         .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
     )
     # committed-but-unpruned view, captured BEFORE any key-range unit
@@ -891,6 +953,45 @@ def decode_dataset(
     finally:
         fh0.close()
     out_schema = _arrow_to_ddl(probe.schema, columns)
+
+    if filters:
+        for c, op, _v in filters:
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
+            if c not in probe.schema.names:
+                raise ValueError(f"filter column {c!r} not in dataset schema")
+            if columns is not None and c not in columns:
+                raise ValueError(f"filters need column {c!r} in columns (residual filter)")
+        if has_stats:
+            # zone-map chunk pruning: keep a chunk unless its recorded
+            # bounds PROVE the term can't match; null/absent bounds keep.
+            # Bounds are typed from the probed schema so integer
+            # comparisons stay exact (no double round-trip past 2^53).
+            keep = None
+            for c, op, v in filters:
+                ftype = probe.schema.field(c).type
+                if pa.types.is_integer(ftype):
+                    cast_to = "long"
+                elif pa.types.is_floating(ftype):
+                    cast_to = "double"
+                else:
+                    cast_to = None  # strings compare lexicographically
+                mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
+                mx = F.get_json_object(F.col("stats"), f"$.{c}[1]")
+                if cast_to:
+                    mn, mx = mn.cast(cast_to), mx.cast(cast_to)
+                lit = F.lit(v)
+                if op in (">", ">="):
+                    cmpc = mx > lit if op == ">" else mx >= lit
+                    term = mx.isNull() | cmpc
+                elif op in ("<", "<="):
+                    cmpc = mn < lit if op == "<" else mn <= lit
+                    term = mn.isNull() | cmpc
+                else:  # = / ==
+                    term = (mn.isNull() | (mn <= lit)) & (mx.isNull() | (mx >= lit))
+                term = F.col("stats").isNull() | term
+                keep = term if keep is None else (keep & term)
+            enc = enc.where(keep)
 
     def decode(iterator):
         # several manifest rows (unit-slices) share one chunk; the input
@@ -939,6 +1040,13 @@ def decode_dataset(
             out = out.where(F.col(key_col) >= lo)
         if hi is not None:
             out = out.where(F.col(key_col) <= hi)
+    if filters:
+        # exact residual for every term (chunk pruning is conservative)
+        for c, op, v in filters:
+            col = F.col(c)
+            out = out.where(
+                {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
+            )
     return out
 
 
