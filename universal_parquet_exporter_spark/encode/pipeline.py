@@ -1234,6 +1234,46 @@ def q_decode_key_range_open(spark, sf_dir: str):
     )
 
 
+def q_decode_filters(spark, sf_dir: str):
+    """Driver-contract query: zone-map filtered decode — a string bound
+    on the key column (doc_id >= '5', which prunes chunks: keys are
+    range-clustered into units) AND a numeric bound on n_chars (which
+    exercises typed residual filtering).  The query raises unless the
+    stats actually pruned manifest rows, so a green row certifies the
+    pruning path ran, not just the residual.  Oracle: the equivalent
+    VARCHAR + integer predicates."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_zmq_")
+    # small chunk_rows: each task's chunks then cover CONTIGUOUS unit
+    # sub-ranges (the stream flushes units in sorted order), so a key
+    # bound inside the range genuinely prunes chunks even at sf0.001
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    manifest = spark.read.parquet(os.path.join(out, "data")).select("stats").collect()
+    qualifying = sum(1 for r in manifest if (_json.loads(r.stats).get("doc_id") or [None, None])[1] is None
+                     or _json.loads(r.stats)["doc_id"][1] >= "5")
+    if len(manifest) > 1 and qualifying >= len(manifest):
+        raise RuntimeError(
+            f"zone maps pruned nothing ({qualifying}/{len(manifest)} chunks qualify)"
+        )
+    dec = decode_dataset(
+        spark, out, filters=[("doc_id", ">=", "5"), ("n_chars", ">=", 200)]
+    )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
 def q_encode_roundtrip_embeddings(spark, sf_dir: str):
     """Driver-contract query: round-trip the ``embeddings`` table —
     ``array<float>`` vectors plus int ids — through the REAL engine,
