@@ -560,13 +560,19 @@ def main() -> None:
                 # a ~2x-slow window)
                 rep_results: dict[int, list] = {c: [] for c in levels}
                 for r in range(2):
-                    # position-balance across rounds (forward, then
-                    # reversed): each leg's two subprocesses sit at
-                    # mirrored positions in the round, so slot-in-round
-                    # effects (writeback accumulation from earlier legs)
-                    # hit every leg symmetrically instead of always
-                    # taxing the same one
-                    for n_exec in (levels if r % 2 == 0 else levels[::-1]):
+                    # position-balance across rounds by swapping PAIR
+                    # order (1,4,2,8 then 2,8,1,4): each leg's two
+                    # subprocesses sit in different halves of the round,
+                    # so slot-in-round effects (writeback accumulation
+                    # from earlier legs) spread across legs — and unlike
+                    # a full reversal, no leg ever runs back-to-back at
+                    # the round boundary (throughput decays across
+                    # back-to-back runs while capacity stays flat)
+                    order = (
+                        levels if r % 2 == 0
+                        else [c for pair in SCALE_PAIRS[::-1] for c in pair]
+                    )
+                    for n_exec in order:
                         rep = _run_scale_leg_subprocess(
                             "lc", n_exec, input_parquet, warm_parquet, shm_work,
                             SCALE_N_MAP, f"r{r}x{n_exec}",
@@ -645,7 +651,13 @@ def main() -> None:
 
         if not skip_scaling:
             lo, hi = runs[SCALE_EXEC_N], runs[SCALE_EXEC_4N]
+            # the top-level block IS the primary pair (duplicated under
+            # pairs["1x4"] deliberately: top-level keys keep the
+            # BENCH_r3-era shape consumers already read; pairs{} is the
+            # uniform per-pair view).  primary_pair names the source of
+            # truth for gate readers.
             scaling = _pair_block(lo, hi, SCALE_EXEC_N, SCALE_EXEC_4N)
+            scaling["primary_pair"] = f"{SCALE_EXEC_N}x{SCALE_EXEC_4N}"
             scaling["topology"] = (
                 f"local-cluster[n,1,4096] — executor-JVM counts "
                 f"{[p for p in SCALE_PAIRS]} (lo vs hi per pair), 1 core/1 slot "

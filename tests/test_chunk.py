@@ -117,6 +117,14 @@ def test_decimal_negative_null_and_sliced():
     assert_identical(decode_array(meta, bufs), sliced)
 
 
+def test_decimal256_rejected_loudly():
+    """decimal256 (precision > 38) would be silently corrupted by the
+    16-byte word slicing — encode must refuse it, not garble it."""
+    src = pa.array([decimal.Decimal(1)], type=pa.decimal256(50, 2))
+    with pytest.raises(TypeError, match="decimal128 only"):
+        encode_array("c", src)
+
+
 def test_decimal_property_roundtrip():
     """Hypothesis sweep over decimal128 arrays spanning the dscale/plain
     boundary (values straddling ±2^63 unscaled), nulls included."""

@@ -61,6 +61,32 @@ def test_frame_batch_split_matches_unsplit(spark):
     assert split == base
 
 
+def test_frame_batch_split_exact_boundary(spark):
+    """Cap exactly equal to a frame multiple: frames that FIT must never
+    raise (regression: side='left' searchsorted under-counted by one on
+    an exact cumulative-offset boundary)."""
+    df = spark.createDataFrame(
+        [(i, bytes([i]) * 64) for i in range(8)], "doc_id long, payload binary"
+    ).coalesce(1)
+    base = {
+        (r.doc_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(df, n_frames=2, frame_bytes=16).collect()
+    }
+    # cap 17: each 16-byte frame fits; the boundary 16 == cap-1+0 hits
+    # the searchsorted target exactly
+    got = {
+        (r.doc_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(df, n_frames=2, frame_bytes=16, max_batch_bytes=17).collect()
+    }
+    assert got == base
+    # cap exactly one frame (16): also fits
+    got16 = {
+        (r.doc_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(df, n_frames=2, frame_bytes=16, max_batch_bytes=16).collect()
+    }
+    assert got16 == base
+
+
 def test_frame_over_cap_raises_not_truncates(spark):
     """A single frame larger than the cap must fail loudly, never wrap
     offsets."""

@@ -30,6 +30,14 @@ def type_tag(t: pa.DataType) -> str:
     if pa.types.is_timestamp(t):
         return f"ts:{t.unit}:{t.tz or ''}"
     if pa.types.is_decimal(t):
+        # the dec: codec paths assume the 16-byte decimal128 layout;
+        # decimal256 (precision > 38) would be silently corrupted by the
+        # word-slicing, so reject it loudly here
+        if not pa.types.is_decimal128(t):
+            raise TypeError(
+                f"unsupported Arrow type for encode: {t} (decimal128 only; "
+                "cast precision <= 38 upstream)"
+            )
         return f"dec:{t.precision}:{t.scale}"
     if pa.types.is_list(t):
         return f"list<{type_tag(t.value_type)}>"

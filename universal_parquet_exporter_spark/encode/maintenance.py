@@ -62,7 +62,10 @@ def _list_payload_files(payload_dir: str) -> list[tuple[str, int, float]]:
         sel = FileSelector(root, allow_not_found=True)
         for info in fs.get_file_info(sel):
             if info.type == FileType.File:
-                mtime = info.mtime.timestamp() if info.mtime is not None else 0.0
+                # missing mtime (some object stores) = age unknowable:
+                # treat as infinitely YOUNG so horizons protect the file
+                # rather than sweep it (0.0 would invert the safety)
+                mtime = info.mtime.timestamp() if info.mtime is not None else float("inf")
                 out.append((info.base_name, info.size, mtime))
     return out
 
@@ -171,11 +174,17 @@ def _ptr_mtime(output_dir: str) -> float | None:
     info = fs.get_file_info(f"{root}/manifest_current")
     if info.type != FileType.File:
         return None
-    return info.mtime.timestamp() if info.mtime is not None else 0.0
+    if info.mtime is None:
+        # mtime-less store: retirement age is UNKNOWABLE — signal the
+        # sweeper to protect retired dirs rather than treating them as
+        # infinitely old (0.0 would invert the reader-safety horizon)
+        return float("inf")
+    return info.mtime.timestamp()
 
 
 def _sweep_retired_manifests(
-    output_dir: str, current_dir: str, now: float, older_than_sec: float
+    output_dir: str, current_dir: str, now: float, older_than_sec: float,
+    dry_run: bool = False,
 ) -> int:
     """Delete manifest directories no longer referenced by the pointer —
     retired by a rewrite, or left by a rewrite that crashed before its
@@ -216,10 +225,11 @@ def _sweep_retired_manifests(
             newest = max(newest, ptr_m)
         if (now - newest) < older_than_sec:
             continue
-        if fs is None:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-        else:
-            fs.delete_dir(f"{root}/{name}")
+        if not dry_run:
+            if fs is None:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            else:
+                fs.delete_dir(f"{root}/{name}")
         swept += 1
     return swept
 
@@ -269,8 +279,10 @@ def vacuum(
     now = _storage_now(output_dir)
     # heal pre-pointer two-rename leftovers (legacy layout upgrades)
     _heal_interrupted_swap(data_dir)
-    retired_swept = 0 if dry_run else _sweep_retired_manifests(
-        output_dir, data_dir, now, older_than_sec
+    # dry_run still COUNTS would-be-swept retired dirs (report without
+    # deleting, same as every other counter)
+    retired_swept = _sweep_retired_manifests(
+        output_dir, data_dir, now, older_than_sec, dry_run=dry_run
     )
 
     committed = (
@@ -358,7 +370,9 @@ def vacuum(
         for info in fs.get_file_info(FileSelector(root, allow_not_found=True)):
             if info.type != FileType.File or not _is_stale_tmp(info.base_name):
                 continue
-            mt = info.mtime.timestamp() if info.mtime is not None else 0.0
+            # missing mtime → protect (an in-flight pointer swap's tmp
+            # must never be deleted from under its fs.move)
+            mt = info.mtime.timestamp() if info.mtime is not None else float("inf")
             if (now - mt) >= older_than_sec:
                 stale_tmp.append(info.base_name)
                 if not dry_run:

@@ -96,6 +96,15 @@ def _chunk_stats(tbl: pa.Table) -> str:
         col = tbl.column(field.name)
         if col.null_count == len(col):
             continue
+        if is_str:
+            # skip long-string columns (document bodies): their maxima
+            # would be dropped and their minima truncated to near-useless
+            # prefixes, yet min_max would scan every byte — a measurable
+            # tax on the hot encode path for bounds that never prune.
+            # Keys/ids/enum-ish columns (avg value <= cap) keep stats.
+            avg_len = col.nbytes / max(len(col) - col.null_count, 1)
+            if avg_len > _STATS_STR_MAX:
+                continue
         mm = pc.min_max(col)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if mn is None or mx is None:

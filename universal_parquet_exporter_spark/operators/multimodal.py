@@ -79,10 +79,10 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame binary"
 
-# pa.binary() int32-offset ceiling: default for sample_frames'
-# max_batch_bytes (tests pass a tiny value to exercise the row-slice
-# split without allocating 2 GiB)
-_MAX_FRAME_BATCH_BYTES = 2**31
+# pa.binary() int32-offset ceiling: INCLUSIVE max bytes per emitted
+# batch, default for sample_frames' max_batch_bytes (tests pass a tiny
+# value to exercise the row-slice split without allocating 2 GiB)
+_MAX_FRAME_BATCH_BYTES = 2**31 - 1
 
 
 def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
@@ -132,10 +132,20 @@ def sample_frames(
                 # an int32 cast of a larger total would TRUNCATE silently)
                 lo = 0
                 while lo < n:
+                    # cap is INCLUSIVE (max bytes per emitted batch);
+                    # last hi with out_off[hi] - out_off[lo] <= cap via
+                    # side='right' then -1 (side='left' under-counts by
+                    # one when a boundary EQUALS the target, turning a
+                    # fitting frame into a spurious overflow)
                     hi = (
                         n
-                        if out_off[-1] - out_off[lo] < max_batch_bytes
-                        else int(np.searchsorted(out_off, out_off[lo] + max_batch_bytes - 1) - 1)
+                        if out_off[-1] - out_off[lo] <= max_batch_bytes
+                        else int(
+                            np.searchsorted(
+                                out_off, out_off[lo] + max_batch_bytes, side="right"
+                            )
+                            - 1
+                        )
                     )
                     if hi <= lo:  # single row over 2 GiB: impossible at
                         # sane frame_bytes, fail loudly rather than wrap
