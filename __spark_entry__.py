@@ -38,6 +38,12 @@ from universal_parquet_exporter_spark.encode.pipeline import (
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_pruned as _q_encode_roundtrip_pruned,
 )
+from universal_parquet_exporter_spark.sources.spark_datasource import (
+    q_source_read_filtered as _q_source_read_filtered,
+)
+from universal_parquet_exporter_spark.sources.spark_datasource import (
+    q_source_write_roundtrip as _q_source_write_roundtrip,
+)
 from universal_parquet_exporter_spark.operators import (
     dedup,
     multimodal,
@@ -77,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_key_range_open": _q_decode_key_range_open,
         "decode_filters": _q_decode_filters,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
+        "source_read_filtered": _q_source_read_filtered,
+        "source_write_roundtrip": _q_source_write_roundtrip,
         # --- reference relational surface (SURVEY.md §2B) ---
         "projection_alias": relational.q_projection_alias,
         "filter_compare": relational.q_filter_compare,
@@ -557,6 +565,18 @@ def oracle_sql() -> dict[str, str]:
         # decode after a vacuum sweep of a simulated torn run must still
         # reproduce the source exactly (the sweep touches only dead data)
         "vacuum_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # Spark DataSource read path (pushFilters unit/zone-map pruning
+        # + Spark residual) == the same predicates as plain SQL
+        "source_read_filtered": (
+            "SELECT doc_id, text, lang, n_chars FROM documents "
+            "WHERE CAST(doc_id AS VARCHAR) >= '10' AND CAST(doc_id AS VARCHAR) <= '24' "
+            "AND n_chars > 200"
+        ),
+        # Spark DataSource SINK (commit-protocol encode) + format read
+        # back must reproduce the source exactly
+        "source_write_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # nested array<float> columns through the same engine, bit-identical

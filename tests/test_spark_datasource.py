@@ -1,0 +1,300 @@
+"""The ``upe_encoded`` Spark Python DataSource: read parity, filter
+pushdown (with pruning EVIDENCE, not just unchanged answers), column
+pruning, the write commit protocol (append / atomic overwrite / abort),
+and the streaming sink's replayed-epoch idempotency."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+from tests.conftest import SF_SMOKE
+from universal_parquet_exporter_spark.encode.pipeline import (
+    EncodeJobConfig,
+    decode_dataset,
+    encode_job,
+    load_or_build_plan,
+    manifest_dir,
+)
+from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, tmp_path_factory):
+    """One encoded documents dataset shared by the read tests: several
+    units (small target bytes) and several chunks (small chunk_rows)."""
+    out = str(tmp_path_factory.mktemp("ds_read"))
+    cfg = EncodeJobConfig(
+        output_dir=out,
+        key_col="doc_id",
+        size_cols=("text",),
+        target_unit_bytes=64 << 10,
+        chunk_rows=64,
+    )
+    encode_job(spark, _docs(spark), cfg)
+    sds.register(spark)
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+def test_read_full_scan_matches_source(spark, dataset):
+    got = spark.read.format("upe_encoded").load(dataset)
+    exp = _docs(spark)
+    assert got.columns == exp.columns
+    assert _rows(got) == _rows(exp)
+
+
+def test_read_column_pruning_option(spark, dataset):
+    got = spark.read.format("upe_encoded").option("columns", "doc_id,lang").load(dataset)
+    assert got.columns == ["doc_id", "lang"]
+    assert _rows(got) == _rows(_docs(spark).select("doc_id", "lang"))
+
+
+def test_read_filtered_values_exact(spark, dataset):
+    pred = (F.col("doc_id") >= "10") & (F.col("doc_id") <= "24") & (F.col("n_chars") > 100)
+    got = spark.read.format("upe_encoded").load(dataset).where(pred)
+    exp = _docs(spark).where(pred)
+    assert _rows(got) == _rows(exp)
+
+
+def test_read_works_with_pushdown_conf_off(spark, dataset):
+    spark.conf.set(sds._PUSHDOWN_CONF, "false")
+    try:
+        got = spark.read.format("upe_encoded").load(dataset).where("doc_id >= '45'")
+        assert _rows(got) == _rows(_docs(spark).where("doc_id >= '45'"))
+    finally:
+        spark.conf.set(sds._PUSHDOWN_CONF, "true")
+
+
+def _planned_chunks(dataset, filters):
+    """Chunks the reader would scan under the given Catalyst filters."""
+    reader = sds._EncodedPushdownReader({"path": dataset})
+    reader.pushFilters(filters)
+    return [ch for p in reader.partitions() for ch in p.chunks]
+
+
+def test_pushdown_prunes_chunks(dataset):
+    """Pruning EVIDENCE: a selective key predicate plans strictly fewer
+    chunks than the full scan (key-range unit pruning + zone maps), and
+    an impossible predicate plans zero."""
+    full = _planned_chunks(dataset, [])
+    narrow = _planned_chunks(
+        dataset,
+        [GreaterThanOrEqual(("doc_id",), "10"), LessThanOrEqual(("doc_id",), "11")],
+    )
+    nothing = _planned_chunks(dataset, [GreaterThanOrEqual(("doc_id",), "\x7f\x7f")])
+    assert len(full) > 0
+    assert 0 < len(narrow) < len(full)
+    assert len(nothing) == 0
+
+
+def test_pushdown_zone_map_on_non_key_column(dataset):
+    """n_chars is stats-covered but not the key: its bounds prune chunks
+    without any unit-range help."""
+    full = _planned_chunks(dataset, [])
+    hi = _planned_chunks(dataset, [GreaterThanOrEqual(("n_chars",), 10**9)])
+    assert len(hi) < len(full)
+
+
+def test_pushdown_startswith_and_equality_terms(dataset):
+    got = _planned_chunks(dataset, [StringStartsWith(("doc_id",), "1")])
+    assert 0 < len(got) <= len(_planned_chunks(dataset, []))
+    eq = _planned_chunks(dataset, [EqualTo(("doc_id",), "10")])
+    assert 0 < len(eq) <= len(got)
+
+
+def test_chunk_keep_algebra():
+    """Unit coverage of the conservative zone-map verdicts."""
+    stats = '{"n": [10, 20], "s": ["b", "m"]}'
+    keep = sds._chunk_keep
+    assert keep(stats, [("n", ">=", 20)], None)
+    assert not keep(stats, [("n", ">", 20)], None)
+    assert not keep(stats, [("n", "<", 10)], None)
+    assert keep(stats, [("n", "<=", 10)], None)
+    assert keep(stats, [("n", "=", 15)], None)
+    assert not keep(stats, [("n", "=", 9)], None)
+    assert keep(stats, [("n", "in", (1, 12))], None)
+    assert not keep(stats, [("n", "in", (1, 2))], None)
+    assert keep(stats, [("s", "startswith", "m")], None)
+    assert not keep(stats, [("s", "startswith", "n")], None)
+    assert keep(stats, [("absent", "=", 1)], None)  # no bounds -> keep
+    assert keep(None, [("n", "=", 1)], None)  # legacy chunk, no stats
+    assert keep('{"s": ["b", null]}', [("s", ">=", "zzz")], None)  # open max
+    assert not keep('{"s": ["b", null]}', [("s", "<", "b")], None)
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def test_write_requires_plan(spark, tmp_path):
+    sds.register(spark)
+    df = _docs(spark).limit(5)
+    with pytest.raises(Exception, match="plan.json"):
+        df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(
+            str(tmp_path / "noplan")
+        )
+
+
+def test_write_key_col_mismatch(spark, tmp_path):
+    sds.register(spark)
+    out = str(tmp_path / "wkey")
+    load_or_build_plan(_docs(spark), EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    with pytest.raises(Exception, match="plan partitions on"):
+        _docs(spark).write.format("upe_encoded").option("key_col", "lang").mode("append").save(out)
+
+
+def test_write_append_roundtrip(spark, tmp_path):
+    sds.register(spark)
+    out = str(tmp_path / "wappend")
+    df = _docs(spark)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    assert _rows(spark.read.format("upe_encoded").load(out)) == _rows(df)
+    # append again: rows accumulate (writer never skips units)
+    extra = df.limit(7).withColumn("doc_id", F.concat(F.lit("zz_"), F.col("doc_id")))
+    extra.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    both = spark.read.format("upe_encoded").load(out)
+    assert both.count() == df.count() + 7
+    # the function-API decode sees DataSource-committed rows identically
+    assert _rows(decode_dataset(spark, out)) == _rows(both)
+
+
+def test_write_overwrite_is_versioned_pointer_swap(spark, tmp_path):
+    sds.register(spark)
+    out = str(tmp_path / "wover")
+    df = _docs(spark)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    first = manifest_dir(out)
+
+    sub = df.limit(20)
+    sub.write.format("upe_encoded").option("key_col", "doc_id").mode("overwrite").save(out)
+    assert manifest_dir(out).endswith("data_v1")
+    assert _rows(spark.read.format("upe_encoded").load(out)) == _rows(sub)
+    # superseded manifest still on disk (vacuum's horizon owns deletion)
+    assert os.path.isdir(first)
+
+    sub2 = df.limit(3)
+    sub2.write.format("upe_encoded").option("key_col", "doc_id").mode("overwrite").save(out)
+    assert manifest_dir(out).endswith("data_v2")
+    assert spark.read.format("upe_encoded").load(out).count() == 3
+
+
+def test_writer_abort_drops_payload(spark, tmp_path):
+    """Abort's contract: the failed attempt's payload files are removed
+    (anything missed would be vacuum-fodder, but the fast path cleans)."""
+    sds.register(spark)
+    out = str(tmp_path / "wabort")
+    df = _docs(spark)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+
+    payload_dir = os.path.join(out, "payload")
+    fake = os.path.join(payload_dir, "frag-aborted-test.bin")
+    with open(fake, "wb") as f:
+        f.write(b"dead")
+    writer = sds._EncodedBatchWriter(
+        {"path": out, "key_col": "doc_id"}, ["doc_id", "text"], overwrite=False
+    )
+    writer.abort([sds._FragMessage([{"file": "frag-aborted-test.bin"}]), None])
+    assert not os.path.exists(fake)
+    # committed data untouched
+    assert spark.read.format("upe_encoded").load(out).count() == df.count()
+
+
+def test_next_manifest_name_skips_crashed_versions(tmp_path):
+    out = str(tmp_path / "vers")
+    os.makedirs(os.path.join(out, "data"))
+    os.makedirs(os.path.join(out, "data_v3"))  # crashed overwrite leftover
+    assert sds._next_manifest_name(out) == "data_v4"
+
+
+# ---------------------------------------------------------------------------
+# streaming sink
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sink_end_to_end_and_tags(spark, tmp_path):
+    sds.register(spark)
+    out = str(tmp_path / "ss_out")
+    ck = str(tmp_path / "ss_ck")
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src)
+    df = _docs(spark)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+
+    for i, pred in enumerate(("doc_id < '25'", "doc_id >= '25'")):
+        stage = str(tmp_path / f"ss_stage{i}")
+        df.where(pred).coalesce(1).write.parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{i}-{os.path.basename(f)}"))
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("upe_encoded")
+        .option("key_col", "doc_id")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(180)
+    assert _rows(spark.read.format("upe_encoded").load(out)) == _rows(df)
+    tags = {
+        r.batch_tag
+        for r in spark.read.parquet(os.path.join(out, "lineage")).select("batch_tag").collect()
+    }
+    assert tags == {"ds_epoch_0", "ds_epoch_1"}
+
+
+def test_stream_replayed_epoch_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (sink committed, checkpoint lost) arrives
+    with the SAME batchId and fresh payload files: its commit must drop
+    the duplicates, not double the data."""
+    sds.register(spark)
+    out = str(tmp_path / "replay")
+    df = _docs(spark).limit(40)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    w = sds._EncodedStreamWriter({"path": out, "key_col": "doc_id"}, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    batches = df.toArrow().to_batches()
+    msg1 = w.write(iter(batches))
+    w.commit([msg1], batchId=7)
+    n_first = spark.read.format("upe_encoded").load(out).count()
+    assert n_first == 40
+
+    # replay: the task re-runs (new payload files), commit sees same id
+    msg2 = w.write(iter(df.toArrow().to_batches()))
+    dup_files = {r["file"] for r in msg2.rows}
+    w.commit([msg2], batchId=7)
+    assert spark.read.format("upe_encoded").load(out).count() == n_first
+    for name in dup_files:  # duplicate payload dropped, not orphaned
+        assert not os.path.exists(os.path.join(out, "payload", name))

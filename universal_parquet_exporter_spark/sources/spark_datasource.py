@@ -1,0 +1,768 @@
+"""Spark Python DataSource (``upe_encoded``) over the engine's containers.
+
+Makes an encoded dataset a FIRST-CLASS Spark format instead of a
+function-call API — the integration surface the reference exposes
+through pandas ``to_parquet`` files (``/root/reference/src/export/
+parquet_writer.py:17``), re-expressed as Spark's own source/sink
+protocol (pyspark 4.1 ``pyspark.sql.datasource``):
+
+    from universal_parquet_exporter_spark.sources.spark_datasource import register
+    register(spark)                       # also enables Python filter pushdown
+
+    spark.read.format("upe_encoded").load(out_dir)          # full scan
+    spark.read.format("upe_encoded").option("columns", "url,lang") \
+         .load(out_dir).where("url >= 'https://h'")         # pruned scan
+
+    df.write.format("upe_encoded").option("key_col", "url") \
+      .mode("append").save(out_dir)                          # encode sink
+
+    stream.writeStream.format("upe_encoded").option("key_col", "url") \
+      .option("checkpointLocation", ck).start(out_dir)       # streaming sink
+
+What Catalyst's v2 pushdown buys here, mechanically:
+
+- **Filter pushdown** (``DataSourceReader.pushFilters``): predicates from
+  any ``.where``/SQL reach the reader BEFORE planning.  Key-column
+  predicates prune whole encode units via the persisted plan's range
+  boundaries (:func:`..plans.partitioning.units_for_key_range`), and
+  every stats-covered column prunes chunks via the manifest zone maps —
+  both BEFORE a single payload byte is read.  Pruning is conservative
+  (bounds are supersets), so ALL filters are returned to Spark for the
+  exact residual — the same contract parquet row-group statistics have.
+- **Partition planning**: committed manifest rows (lineage semi-join, so
+  orphans from torn runs are invisible — identical to
+  :func:`..encode.pipeline.decode_dataset`) are grouped per chunk and
+  packed into ~``partition_target_bytes`` scan partitions by payload
+  locality.  Planning reads ONLY metadata (manifest + lineage parquet,
+  plan.json) with pyarrow — it runs in Spark's planning worker where no
+  SparkSession exists, exactly like a JVM DSv2 ``ScanBuilder``.
+- **Write commit protocol** (``DataSourceArrowWriter``): tasks encode
+  their Arrow batches with the engine's own stream
+  (:func:`..encode.pipeline._encode_stream` — codec auto-selection,
+  bounded buffering, payload files written straight to storage) and
+  return their manifest rows as the task's ``WriterCommitMessage``; only
+  the driver's ``commit()`` appends manifest + lineage.  A failed or
+  speculative task leaves at most an uncommitted payload file — dead
+  bytes that ``vacuum`` sweeps — so the sink inherits the engine's
+  exactly-once-at-job-granularity story through Spark's OWN commit
+  protocol instead of beside it.  ``mode("overwrite")`` is ATOMIC: the
+  new manifest is written to a fresh ``data_v<N>`` directory and the
+  ``manifest_current`` pointer swaps last (Iceberg version-hint
+  pattern); readers see the old or the new dataset, never a mix.
+- **Streaming sink** (``DataSourceStreamArrowWriter``): each micro-batch
+  commits under a ``ds_epoch_<batchId>`` lineage tag with a
+  batch-unique run id; a replayed epoch (failure between sink commit
+  and checkpoint write) is detected by its already-committed tag and
+  skipped — exactly-once at batch granularity, the same guarantee the
+  ``foreachBatch`` path (:mod:`...streaming.jobs`) provides, now native.
+
+Writes require the dataset plan (``plan.json``) to exist — create it
+with :func:`..encode.pipeline.load_or_build_plan` (or any prior
+``encode_job``) first, the create-table-then-append model: unit
+identity must be global and deterministic, and a per-task writer cannot
+sample the whole input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+
+from ..encode.container import deserialize_chunk
+from ..encode.pipeline import (
+    _arrow_to_ddl,
+    _encode_stream,
+    _load_plan,
+    _normalize_batch,
+    _open_payload,
+    _payload_fs,
+    manifest_dir,
+    set_manifest_dir,
+)
+from ..plans.partitioning import EncodePlan, units_for_key_range
+
+FORMAT_NAME = "upe_encoded"
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def register(spark, enable_filter_pushdown: bool = True) -> None:
+    """Register the ``upe_encoded`` format on a session.  Python-source
+    filter pushdown is OFF by default in Spark and a reader implementing
+    ``pushFilters`` hard-fails without it, so this also flips the conf
+    (runtime-settable; verified on 4.1.2)."""
+    if enable_filter_pushdown:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+    spark.dataSource.register(EncodedContainerDataSource)
+
+
+# ---------------------------------------------------------------------------
+# driver/planning-side metadata access (pyarrow only — no SparkSession)
+# ---------------------------------------------------------------------------
+
+
+def _read_meta_table(path: str, columns: list[str]) -> pa.Table | None:
+    """A Spark-written parquet directory as one Arrow table (``_SUCCESS``
+    markers ignored by pyarrow.dataset's default ``ignore_prefixes``);
+    None when the directory doesn't exist yet."""
+    import pyarrow.dataset as pads
+
+    try:
+        dset = pads.dataset(path, format="parquet")
+    except (FileNotFoundError, OSError):
+        return None
+    names = [c for c in columns if c in dset.schema.names]
+    return dset.to_table(columns=names)
+
+
+def _committed_manifest(output_dir: str) -> pa.Table:
+    """Committed manifest rows (the lineage ``status='ok'`` semi-join on
+    ``(unit, run_id)``) — the planning-side twin of
+    :func:`..encode.pipeline.decode_dataset`'s ``enc`` DataFrame.  At
+    nominal scale this is manifest METADATA (fragment rows, not data):
+    the same order of driver-side state Spark's own file index keeps."""
+    man = _read_meta_table(
+        manifest_dir(output_dir),
+        ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "stats"],
+    )
+    lin = _read_meta_table(os.path.join(output_dir, "lineage"), ["unit", "run_id", "status"])
+    if man is None or lin is None or man.num_rows == 0:
+        return pa.table(
+            {
+                "unit": pa.array([], pa.int64()),
+                "run_id": pa.array([], pa.string()),
+                "file": pa.array([], pa.string()),
+                "offset": pa.array([], pa.int64()),
+                "length": pa.array([], pa.int64()),
+                "row_off": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "stats": pa.array([], pa.string()),
+            }
+        )
+    ok = set()
+    st = lin.column("status").to_pylist()
+    for u, r, s in zip(lin.column("unit").to_pylist(), lin.column("run_id").to_pylist(), st):
+        if s == "ok":
+            ok.add((u, r))
+    units = man.column("unit").to_pylist()
+    runs = man.column("run_id").to_pylist()
+    keep = [i for i, (u, r) in enumerate(zip(units, runs)) if (u, r) in ok]
+    return man.take(pa.array(keep, pa.int64()))
+
+
+def _probe_chunk_schema(output_dir: str, man: pa.Table) -> pa.Schema:
+    """Arrow schema from the first committed chunk (orphan-safe by
+    construction — the row came through the lineage semi-join)."""
+    if man.num_rows == 0:
+        raise ValueError(f"empty encoded dataset at {output_dir}")
+    payload_dir = os.path.join(output_dir, "payload")
+    fh = _open_payload(payload_dir, man.column("file")[0].as_py())
+    try:
+        fh.seek(man.column("offset")[0].as_py())
+        probe = deserialize_chunk(fh.read(man.column("length")[0].as_py()))
+    finally:
+        fh.close()
+    return probe.schema
+
+
+# ---------------------------------------------------------------------------
+# filter → pruning terms
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _terms_from_filters(filters) -> list[tuple[str, str, object]]:
+    """Catalyst filters → conjunctive pruning terms ``(col, op, value)``.
+    Unsupported shapes are simply absent (they still reach Spark's
+    residual — we return every filter as unhandled)."""
+    terms = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1):
+            continue  # nested paths don't exist in chunk schemas
+        col = attr[0]
+        op = _CMP_OPS.get(type(f))
+        if op is not None:
+            terms.append((col, op, f.value))
+        elif isinstance(f, In):
+            terms.append((col, "in", tuple(f.value)))
+        elif isinstance(f, StringStartsWith):
+            terms.append((col, "startswith", f.value))
+    return terms
+
+
+def _key_range_from_terms(terms, key_col: str) -> tuple[str | None, str | None]:
+    """Tightest ``[lo, hi]`` the key-column terms imply (None = open).
+    ``>`` contributes its operand as ``lo`` (superset — the exact strict
+    bound is Spark's residual), ``startswith p`` contributes ``lo = p``
+    only (every match is ≥ its own prefix; a sound upper bound needs
+    prefix-successor arithmetic the unit pruner doesn't require)."""
+    lo = hi = None
+    for col, op, v in terms:
+        if col != key_col or not isinstance(v, str):
+            continue
+        if op in (">", ">=", "="):
+            lo = v if lo is None or v > lo else lo
+        if op in ("<", "<=", "="):
+            hi = v if hi is None or v < hi else hi
+        if op == "startswith":
+            lo = v if lo is None or v > lo else lo
+    return lo, hi
+
+
+def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
+    """Zone-map verdict for ONE chunk: False only when the recorded
+    bounds PROVE a term can't match (missing/partial bounds keep — the
+    same conservative algebra as ``decode_dataset``'s SQL form, from
+    which the driver's value-hash gate certifies the semantics)."""
+    if not stats_json:
+        return True
+    try:
+        stats = json.loads(stats_json)
+    except (TypeError, ValueError):
+        return True
+    for col, op, v in terms:
+        bounds = stats.get(col)
+        if not bounds:
+            continue
+        mn, mx = bounds
+        try:
+            if op in (">", ">="):
+                if mx is not None and not (mx > v if op == ">" else mx >= v):
+                    return False
+            elif op in ("<", "<="):
+                if mn is not None and not (mn < v if op == "<" else mn <= v):
+                    return False
+            elif op == "=":
+                if (mn is not None and mn > v) or (mx is not None and mx < v):
+                    return False
+            elif op == "in":
+                if mn is not None and mx is not None and not any(
+                    mn <= x <= mx for x in v
+                ):
+                    return False
+            elif op == "startswith":
+                # all matches are >= v and share v's length-prefix
+                if mx is not None and mx < v:
+                    return False
+                if mn is not None and isinstance(mn, str) and mn[: len(v)] > v:
+                    return False
+        except TypeError:
+            continue  # cross-type comparison: never prune on it
+    return True
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+class _ChunkScanPartition(InputPartition):
+    """One scan task: a locality-packed run of chunks.  ``chunks`` is
+    ``[(file, offset, length, [(row_off, n_rows), ...]), ...]`` sorted by
+    (file, offset) so the read loop deserializes each chunk once."""
+
+    def __init__(self, payload_dir: str, columns: list[str] | None, chunks: list):
+        self.payload_dir = payload_dir
+        self.columns = columns
+        self.chunks = chunks
+
+
+class _EncodedReader(DataSourceReader):
+    """Plain reader (no ``pushFilters`` method — Spark hard-fails a
+    reader that declares one while the pushdown conf is off)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("upe_encoded requires a path: .load(<output_dir>)")
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        self.target_bytes = int(options.get("partition_target_bytes", 64 << 20))
+        self._terms: list[tuple[str, str, object]] = []
+
+    def partitions(self):
+        man = _committed_manifest(self.path)
+        payload_dir = os.path.join(self.path, "payload")
+        if man.num_rows == 0:
+            return [_ChunkScanPartition(payload_dir, self.columns, [])]
+
+        units = np.asarray(man.column("unit").to_pylist(), dtype=np.int64)
+        keep = np.ones(man.num_rows, dtype=bool)
+        if self._terms:
+            plan = _load_plan(self.path)
+            if plan is not None:
+                lo, hi = _key_range_from_terms(self._terms, plan.key_col)
+                if lo is not None or hi is not None:
+                    allowed = np.asarray(units_for_key_range(plan, lo, hi), dtype=np.int64)
+                    keep &= np.isin(units, allowed)
+
+        files = man.column("file").to_pylist()
+        offsets = man.column("offset").to_pylist()
+        lengths = man.column("length").to_pylist()
+        row_offs = man.column("row_off").to_pylist()
+        n_rows = man.column("n_rows").to_pylist()
+        stats = man.column("stats").to_pylist() if "stats" in man.schema.names else [None] * man.num_rows
+
+        # group manifest rows (unit-slices) by their chunk; zone-map test
+        # runs once per CHUNK (slices of a chunk share its stats)
+        chunks: dict[tuple[str, int], list] = {}
+        chunk_len: dict[tuple[str, int], int] = {}
+        chunk_stats: dict[tuple[str, int], str | None] = {}
+        for i in range(man.num_rows):
+            if not keep[i]:
+                continue
+            k = (files[i], offsets[i])
+            chunks.setdefault(k, []).append((row_offs[i], n_rows[i]))
+            chunk_len[k] = lengths[i]
+            chunk_stats[k] = stats[i]
+
+        probe_schema = None
+        if self._terms:
+            probe_schema = _probe_chunk_schema(self.path, man)
+        ordered = []
+        for k in sorted(chunks):
+            if self._terms and not _chunk_keep(chunk_stats[k], self._terms, probe_schema):
+                continue
+            ordered.append((k[0], k[1], chunk_len[k], sorted(chunks[k])))
+
+        # pack chunk runs into ~target_bytes partitions, preserving file
+        # locality (consecutive chunks of one payload file stay together)
+        parts: list[_ChunkScanPartition] = []
+        cur: list = []
+        cur_bytes = 0
+        for ch in ordered:
+            cur.append(ch)
+            cur_bytes += ch[2]
+            if cur_bytes >= self.target_bytes:
+                parts.append(_ChunkScanPartition(payload_dir, self.columns, cur))
+                cur, cur_bytes = [], 0
+        if cur or not parts:
+            parts.append(_ChunkScanPartition(payload_dir, self.columns, cur))
+        return parts
+
+    def read(self, partition: _ChunkScanPartition):
+        handles: dict[str, object] = {}
+        try:
+            for fname, off, length, slices in partition.chunks:
+                fh = handles.get(fname)
+                if fh is None:
+                    fh = handles[fname] = _open_payload(partition.payload_dir, fname)
+                fh.seek(off)
+                tbl = deserialize_chunk(fh.read(length), partition.columns)
+                for roff, nr in slices:
+                    for b in tbl.slice(roff, nr).to_batches():
+                        if b.num_rows:
+                            yield _normalize_batch(b)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+
+class _EncodedPushdownReader(_EncodedReader):
+    def pushFilters(self, filters):
+        """Record prunable terms; return EVERY filter (pruning is a
+        conservative superset — zone maps and unit ranges — so Spark
+        must keep the exact residual, the parquet-statistics contract)."""
+        fl = list(filters)
+        self._terms = _terms_from_filters(fl)
+        return fl
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+_MANIFEST_PA_SCHEMA = pa.schema(
+    [
+        ("unit", pa.int64()),
+        ("first_key", pa.string()),
+        ("n_rows", pa.int64()),
+        ("row_off", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("wall_ms", pa.float64()),
+        ("codecs", pa.string()),
+        ("file", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+        ("stats", pa.string()),
+        ("run_id", pa.string()),
+    ]
+)
+
+_LINEAGE_PA_SCHEMA = pa.schema(
+    [
+        ("unit", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("wall_ms", pa.float64()),
+        ("n_fragments", pa.int64()),
+        ("codecs", pa.string()),
+        ("run_id", pa.string()),
+        ("status", pa.string()),
+        ("batch_tag", pa.string()),
+        ("committed_at", pa.timestamp("us", "UTC")),
+    ]
+)
+
+
+def _write_parquet_file(dir_path: str, name: str, tbl: pa.Table) -> None:
+    """One parquet file into a metadata directory, atomically (temp name
+    prefixed ``.`` — invisible to Spark/pyarrow listings — then rename)."""
+    import pyarrow.parquet as pq
+
+    fs, root = _payload_fs(dir_path)
+    if fs is None:
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".tmp-{name}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(root, name))
+    else:
+        fs.create_dir(root, recursive=True)
+        tmp = f"{root}/.tmp-{name}"
+        with fs.open_output_stream(tmp) as out:
+            pq.write_table(tbl, out)
+        fs.move(tmp, f"{root}/{name}")
+
+
+class _FragMessage(WriterCommitMessage):
+    """One task's manifest rows (fragment bookkeeping, ~100 B/row — the
+    payload bytes themselves went straight to storage)."""
+
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+
+
+def _next_manifest_name(output_dir: str) -> str:
+    """Fresh ``data_v<N>`` name above every existing version (a crashed
+    overwrite's unreferenced dir must not be reused)."""
+    fs, root = _payload_fs(output_dir)
+    names: list[str] = []
+    if fs is None:
+        if os.path.isdir(root):
+            names = os.listdir(root)
+    else:
+        from pyarrow.fs import FileSelector
+
+        try:
+            names = [i.base_name for i in fs.get_file_info(FileSelector(root))]
+        except (FileNotFoundError, OSError):
+            names = []
+    top = 0
+    for n in names:
+        if n == "data":
+            top = max(top, 0)
+        elif n.startswith("data_v"):
+            try:
+                top = max(top, int(n[len("data_v"):]))
+            except ValueError:
+                pass
+    return f"data_v{top + 1}"
+
+
+class _EncodedWriterBase:
+    """Shared executor-side encode + driver-side commit bookkeeping."""
+
+    def __init__(self, options, schema_names: list[str]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("upe_encoded requires a path: .save(<output_dir>)")
+        self.key_col = options.get("key_col", "url")
+        if self.key_col not in schema_names:
+            raise ValueError(
+                f"key_col {self.key_col!r} not in the written schema {schema_names}; "
+                "set .option('key_col', <column>)"
+            )
+        plan = _load_plan(self.path)
+        if plan is None:
+            raise ValueError(
+                f"no plan.json under {self.path}: encoded datasets are "
+                "created-then-appended (unit identity must be global). "
+                "Initialize once with load_or_build_plan(df, EncodeJobConfig"
+                f"(output_dir={self.path!r}, key_col={self.key_col!r})) or a "
+                "prior encode_job."
+            )
+        self.plan_json = plan.to_json()
+        if plan.key_col != self.key_col:
+            raise ValueError(
+                f"dataset plan partitions on {plan.key_col!r}, not {self.key_col!r}"
+            )
+        self.chunk_rows = int(options.get("chunk_rows", 32768))
+        self.max_buffer_bytes = int(options.get("max_buffer_bytes", 256 << 20))
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator):
+        plan_local = EncodePlan.from_json(self.plan_json)
+        out = list(
+            _encode_stream(
+                iterator,
+                plan_local,
+                np.array([], dtype=np.int64),
+                self.key_col,
+                os.path.join(self.path, "payload"),
+                self.chunk_rows,
+                self.max_buffer_bytes,
+            )
+        )
+        return _FragMessage(out[0].to_pylist() if out else [])
+
+    # -- commit side (Spark's Python planning worker: pyarrow only) -----
+    def _commit_rows(self, rows: list[dict], data_dir: str, run_id: str, batch_tag: str = "") -> None:
+        """The engine's two-step commit, from pre-collected manifest rows:
+        append ONE manifest parquet file (tagged with this commit's run
+        id), then the lineage file that makes its rows visible — derived
+        here from the same in-hand rows (``_finish_encode`` re-reads the
+        manifest because its rows never leave the cluster; a commit
+        message's rows are already local).  Spark's commit hook runs in
+        the Python planning worker where no SparkSession exists, so both
+        files are written with pyarrow — plain int64/double/utf8/µs-UTC
+        columns that Spark reads interchangeably with its own files —
+        via the temp-write + rename idiom (a concurrent reader never
+        sees a torn footer)."""
+        from datetime import datetime, timezone
+
+        tagged = [{**r, "run_id": run_id} for r in rows]
+        man_tbl = pa.Table.from_pylist(tagged, schema=_MANIFEST_PA_SCHEMA)
+        _write_parquet_file(data_dir, f"part-ds-{run_id}-manifest.parquet", man_tbl)
+
+        per_unit: dict[int, dict] = {}
+        for r in rows:
+            u = per_unit.setdefault(
+                r["unit"],
+                {"unit": r["unit"], "n_rows": 0, "bytes_in": 0, "bytes_out": 0,
+                 "wall_ms": 0.0, "n_fragments": 0, "codecs": r["codecs"]},
+            )
+            u["n_rows"] += r["n_rows"]
+            u["bytes_in"] += r["bytes_in"]
+            u["bytes_out"] += r["bytes_out"]
+            u["wall_ms"] += r["wall_ms"]
+            u["n_fragments"] += 1
+        now = datetime.now(timezone.utc)
+        lin_rows = [
+            {**u, "run_id": run_id, "status": "ok", "batch_tag": batch_tag, "committed_at": now}
+            for u in per_unit.values()
+        ]
+        lin_tbl = pa.Table.from_pylist(lin_rows, schema=_LINEAGE_PA_SCHEMA)
+        _write_parquet_file(
+            os.path.join(self.path, "lineage"), f"part-ds-{run_id}-lineage.parquet", lin_tbl
+        )
+
+    def _drop_payload(self, messages) -> None:
+        """Best-effort removal of aborted/duplicate tasks' payload files;
+        anything missed is an orphan the vacuum sweep collects."""
+        payload_dir = os.path.join(self.path, "payload")
+        fs, root = _payload_fs(payload_dir)
+        for m in messages or []:
+            for name in {r["file"] for r in getattr(m, "rows", []) or []}:
+                try:
+                    if fs is None:
+                        os.unlink(os.path.join(root, name))
+                    else:
+                        fs.delete_file(f"{root}/{name}")
+                except (FileNotFoundError, OSError):
+                    pass
+
+
+class _EncodedBatchWriter(_EncodedWriterBase, DataSourceArrowWriter):
+    def __init__(self, options, schema_names: list[str], overwrite: bool):
+        super().__init__(options, schema_names)
+        self.overwrite = overwrite
+        # target manifest dir is fixed at PLANNING time; the pointer swap
+        # in commit() is what publishes it
+        self.data_dir = (
+            os.path.join(self.path, _next_manifest_name(self.path))
+            if overwrite
+            else manifest_dir(self.path)
+        )
+
+    def commit(self, messages):
+        rows = [r for m in messages if m is not None for r in m.rows]
+        self._commit_rows(rows, self.data_dir, self.run_id)
+        if self.overwrite:
+            # atomic publish: readers resolve the old manifest until this
+            # rename-backed pointer lands; superseded payload/manifest
+            # bytes age out under vacuum's horizon
+            set_manifest_dir(self.path, os.path.basename(self.data_dir))
+
+    def abort(self, messages):
+        self._drop_payload(messages)
+
+
+class _EncodedStreamWriter(_EncodedWriterBase, DataSourceStreamArrowWriter):
+    """Micro-batch sink with replay-proof commits: the lineage tag
+    ``ds_epoch_<batchId>`` plus a batch-unique run id give exactly-once
+    at batch granularity (the native twin of
+    :func:`...streaming.jobs.streaming_encode_ingest`)."""
+
+    def _tag(self, batch_id: int) -> str:
+        return f"ds_epoch_{batch_id}"
+
+    def _committed_tags(self) -> set[str]:
+        lin = _read_meta_table(os.path.join(self.path, "lineage"), ["batch_tag", "status"])
+        if lin is None:
+            return set()
+        return {
+            t
+            for t, s in zip(lin.column("batch_tag").to_pylist(), lin.column("status").to_pylist())
+            if t and s == "ok"
+        }
+
+    def commit(self, messages, batchId: int):
+        tag = self._tag(batchId)
+        if tag in self._committed_tags():
+            # replayed epoch (sink committed, checkpoint didn't): the
+            # rerun's payload files are duplicates — drop, don't commit
+            self._drop_payload(messages)
+            return
+        rows = [r for m in messages if m is not None for r in m.rows]
+        self._commit_rows(rows, manifest_dir(self.path), f"{self.run_id}-b{batchId}", tag)
+
+    def abort(self, messages, batchId: int):
+        self._drop_payload(messages)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+def q_source_read_filtered(spark, sf_dir: str):
+    """Driver-contract query: encode the documents table, then read it
+    back through the registered ``upe_encoded`` Spark format with a
+    key-range + zone-map predicate — the filters reach the reader via
+    Catalyst's pushFilters, prune units/chunks before payload reads, and
+    Spark applies the exact residual.  The oracle is the same predicate
+    as plain SQL over the source, so the driver's value hash certifies
+    the DataSource read path end to end (pushdown included), not just
+    the function-call decode."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..encode.pipeline import EncodeJobConfig, encode_job
+
+    out = tempfile.mkdtemp(prefix="upes_dsr_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",),
+        target_unit_bytes=256 << 10, chunk_rows=128,
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    register(spark)
+    r = (
+        spark.read.format("upe_encoded")
+        .load(out)
+        .where((F.col("doc_id") >= "10") & (F.col("doc_id") <= "24") & (F.col("n_chars") > 200))
+    )
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "n_chars"
+    )
+
+
+def q_source_write_roundtrip(spark, sf_dir: str):
+    """Driver-contract query: write the documents table through the
+    ``upe_encoded`` SINK (Spark's commit protocol carrying the engine's
+    manifest rows as task commit messages) and read it back through the
+    same format.  A plain SELECT oracle certifies that the
+    protocol-committed dataset is bit-identical to the source — the
+    DataSource twin of ``encode_roundtrip``."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..encode.pipeline import EncodeJobConfig, load_or_build_plan
+
+    out = tempfile.mkdtemp(prefix="upes_dsw_")
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    load_or_build_plan(
+        df,
+        EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=1 << 20),
+    )
+    register(spark)
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    dec = spark.read.format("upe_encoded").load(out)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+
+
+class EncodedContainerDataSource(DataSource):
+    """``spark.read.format("upe_encoded")`` / ``df.write.format("upe_encoded")``.
+
+    Read options: ``columns`` (comma-separated decode pruning — excluded
+    columns' buffers are skipped un-decompressed), ``partition_target_bytes``
+    (scan-task payload size, default 64 MB).
+    Write options: ``key_col`` (must match the dataset plan), ``chunk_rows``,
+    ``max_buffer_bytes``.  See the module docstring for semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("upe_encoded requires a path: .load(<output_dir>)")
+        man = _committed_manifest(path)
+        probe = _probe_chunk_schema(path, man)
+        cols = self.options.get("columns")
+        columns = [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        if columns:
+            missing = [c for c in columns if c not in probe.names]
+            if missing:
+                raise ValueError(f"columns not in dataset: {missing}")
+        return _arrow_to_ddl(probe, columns)
+
+    def reader(self, schema):
+        # a reader DECLARING pushFilters hard-fails when the conf is off,
+        # so the capability is chosen by the live conf (driver-side here)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = False
+        if spark is not None:
+            enabled = str(spark.conf.get(_PUSHDOWN_CONF, "false")).lower() == "true"
+        cls = _EncodedPushdownReader if enabled else _EncodedReader
+        return cls(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _EncodedBatchWriter(self.options, [f.name for f in schema.fields], overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("upe_encoded streaming supports append mode only")
+        return _EncodedStreamWriter(self.options, [f.name for f in schema.fields])
