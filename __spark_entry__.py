@@ -23,6 +23,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
 from universal_parquet_exporter_spark.encode.maintenance import (
     q_vacuum_roundtrip as _q_vacuum_roundtrip,
 )
+from universal_parquet_exporter_spark.encode.compaction import (
+    q_compact_roundtrip as _q_compact_roundtrip,
+)
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
@@ -83,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_key_range_open": _q_decode_key_range_open,
         "decode_filters": _q_decode_filters,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
+        "compact_roundtrip": _q_compact_roundtrip,
         "source_read_filtered": _q_source_read_filtered,
         "source_write_roundtrip": _q_source_write_roundtrip,
         # --- reference relational surface (SURVEY.md §2B) ---
@@ -565,6 +569,12 @@ def oracle_sql() -> dict[str, str]:
         # decode after a vacuum sweep of a simulated torn run must still
         # reproduce the source exactly (the sweep touches only dead data)
         "vacuum_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # decode after compaction (4 fragmented appends re-packed into
+        # full-size chunks behind the versioned-manifest pointer swap)
+        # must still reproduce the source exactly
+        "compact_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # Spark DataSource read path (pushFilters unit/zone-map pruning

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThanOrEqual,
+    In,
     LessThanOrEqual,
     StringStartsWith,
 )
@@ -119,6 +120,23 @@ def test_pushdown_zone_map_on_non_key_column(dataset):
     full = _planned_chunks(dataset, [])
     hi = _planned_chunks(dataset, [GreaterThanOrEqual(("n_chars",), 10**9)])
     assert len(hi) < len(full)
+
+
+def test_pushdown_in_list_on_key(spark, dataset):
+    """IN-lists on the key prune to the union of point ranges, and the
+    answer stays exact under Spark's residual."""
+    full = _planned_chunks(dataset, [])
+    planned = _planned_chunks(dataset, [In(("doc_id",), ("10", "11"))])
+    assert 0 < len(planned) < len(full)
+    got = (
+        spark.read.format("upe_encoded")
+        .load(dataset)
+        .where(F.col("doc_id").isin("10", "11"))
+        .select("doc_id")
+    )
+    assert _rows(got) == _rows(
+        _docs(spark).where(F.col("doc_id").isin("10", "11")).select("doc_id")
+    )
 
 
 def test_pushdown_startswith_and_equality_terms(dataset):

@@ -10,10 +10,13 @@ Layers:
   ``mapInArrow`` encode, Parquet sink, lineage/metrics, checkpointed
   resume, and the decode (read-back) path;
 - :mod:`.maintenance` — vacuum sweep for dead payload files and orphan
-  manifest rows (the Iceberg ``remove_orphan_files`` analog).
+  manifest rows (the Iceberg ``remove_orphan_files`` analog);
+- :mod:`.compaction` — rewrite fragmented units into full-size chunks
+  (the Iceberg ``rewrite_data_files`` analog).
 """
 
 from .chunk import decode_array, encode_array
+from .compaction import compact
 from .container import deserialize_chunk, serialize_chunk
 from .maintenance import vacuum
 from .pipeline import (
@@ -33,4 +36,5 @@ __all__ = [
     "encode_parquet_job",
     "decode_dataset",
     "vacuum",
+    "compact",
 ]

@@ -1,0 +1,266 @@
+"""Compaction: rewrite fragmented encode units into full-size chunks.
+
+Append commits and streaming epochs add FRAGMENTS to existing units
+(the design that makes them cheap and crash-safe), so a long-lived
+dataset ingested in small batches drifts toward many small chunks —
+and small chunks are measurably bad: the codec layer runs ~5× slower
+per byte below ~10k rows and compresses worse (BENCH/BASELINE.md §3),
+the exact drift Iceberg's ``rewrite_data_files`` action exists to
+repair.  :func:`compact` is the engine's analog:
+
+1. **Select** committed units whose average slice is smaller than
+   ``min_avg_slice_rows`` (default ``chunk_rows // 2``) — work is
+   proportional to the FRAGMENTED data only, never the healthy bulk.
+2. **Rewrite** those units through the engine's own stream: tasks
+   decode their units' slices straight from storage (Arrow, payload
+   bytes never enter the JVM — only manifest rows cross the exchange),
+   re-encode them as fresh ~``chunk_rows``-row chunks with freshly
+   trained FSST tables and zone maps, and append new payload files.
+3. **Publish atomically** with the same versioned-manifest pointer
+   swap vacuum's rewrite uses: the new ``data_v<N>`` dir holds every
+   surviving row (non-compacted units verbatim — their committed
+   lineage stays valid — plus in-flight runs' young uncommitted rows,
+   which must outlive the rewrite) and the compacted units' new rows;
+   lineage for the new run is committed BEFORE the pointer lands, so a
+   reader resolves either the old complete manifest or the new one.
+
+Crash windows mirror the encode job's: payload written but lineage
+missing → orphan files vacuum sweeps; lineage written but pointer not
+swapped → an unreferenced ``data_v<N>`` dir that ages out under
+:func:`~.maintenance.vacuum`'s retired-manifest horizon.  Superseded
+payload chunks of compacted units become dead only when NO surviving
+manifest row references them (multi-unit chunks shared with healthy
+units stay live) — the next vacuum reclaims the rest.
+
+Concurrency contract = vacuum's: run while no encode job is writing,
+or rely on the kept-young-rows rule above plus a later horizoned
+vacuum.  The reference has no analog (one file per export run,
+``/root/reference/examples/basic_integration_example.py:101-116``);
+this is 100 TB hygiene the north rule's resumable-ingest design makes
+necessary.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+
+from .container import deserialize_chunk
+from .pipeline import (
+    FRAG_SCHEMA,
+    _encode_stream,
+    _load_plan,
+    _open_payload,
+    manifest_dir,
+    set_manifest_dir,
+)
+
+
+def compact(
+    spark,
+    output_dir: str,
+    *,
+    chunk_rows: int = 32768,
+    min_avg_slice_rows: int | None = None,
+    max_buffer_bytes: int = 256 << 20,
+    dry_run: bool = False,
+) -> dict:
+    """Merge fragmented units' slices into full-size chunks; see module
+    docstring.  Returns selection + rewrite counters; decoded data is
+    unchanged by construction (pytest- and driver-oracle-gated)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.partitioning import EncodePlan
+
+    threshold = min_avg_slice_rows if min_avg_slice_rows is not None else chunk_rows // 2
+    plan = _load_plan(output_dir)
+    if plan is None:
+        raise ValueError(f"no plan.json under {output_dir}: not an encoded dataset")
+    data_dir = manifest_dir(output_dir)
+    lineage_dir = os.path.join(output_dir, "lineage")
+    payload_dir = os.path.join(output_dir, "payload")
+
+    manifest = spark.read.parquet(data_dir)
+    committed = (
+        spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit", "run_id")
+    )
+    committed_rows = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
+
+    per_unit = committed_rows.groupBy("unit").agg(
+        F.count("*").alias("n_slices"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("bytes_out").alias("bytes_out"),
+    )
+    sel = per_unit.where(
+        (F.col("n_slices") > 1) & ((F.col("rows") / F.col("n_slices")) < threshold)
+    ).collect()
+    targets = [int(r.unit) for r in sel]
+    report = {
+        "units_total": int(per_unit.count()),
+        "units_compacted": len(targets),
+        "slices_before": int(sum(r.n_slices for r in sel)),
+        "slices_after": 0,
+        "bytes_before": int(sum(r.bytes_out or 0 for r in sel)),
+        "bytes_after": 0,
+        "manifest_rewritten": False,
+        "dry_run": dry_run,
+    }
+    if not targets or dry_run:
+        return report
+
+    run_id = "compact-" + uuid.uuid4().hex[:12]
+    bplan = spark.sparkContext.broadcast(plan.to_json())
+    key_col = plan.key_col
+
+    def rewrite(iterator):
+        """Decode this task's slices (one-chunk cache, slices arrive
+        sorted by (file, offset)) and feed the rows straight back
+        through the encode stream — payload in and out via storage."""
+        plan_local = EncodePlan.from_json(bplan.value)
+
+        def decoded():
+            handles: dict[str, object] = {}
+            cur_key, cur_tbl = None, None
+            try:
+                for batch in iterator:
+                    cols = [batch.column(i).to_pylist() for i in range(5)]
+                    for fname, off, ln, roff, nr in zip(*cols):
+                        if (fname, off) != cur_key:
+                            fh = handles.get(fname)
+                            if fh is None:
+                                fh = handles[fname] = _open_payload(payload_dir, fname)
+                            fh.seek(off)
+                            cur_tbl = deserialize_chunk(fh.read(ln))
+                            cur_key = (fname, off)
+                        for b in cur_tbl.slice(roff, nr).to_batches():
+                            if b.num_rows:
+                                yield b
+            finally:
+                for fh in handles.values():
+                    fh.close()
+
+        yield from _encode_stream(
+            decoded(),
+            plan_local,
+            np.array([], dtype=np.int64),
+            key_col,
+            payload_dir,
+            chunk_rows,
+            max_buffer_bytes,
+        )
+
+    # a unit's slices must meet in one task (so it re-packs into the
+    # fewest chunks); partition the SLICE MANIFEST by unit — the only
+    # exchange in the job, and it carries bookkeeping rows, not payload
+    n_part = max(1, min(len(targets), spark.sparkContext.defaultParallelism))
+    slices = (
+        committed_rows.where(F.col("unit").isin(targets))
+        .select("file", "offset", "length", "row_off", "n_rows", "unit")
+        .repartition(n_part, "unit")
+        .sortWithinPartitions("file", "offset", "row_off")
+        .drop("unit")
+    )
+    new_frags = slices.mapInArrow(rewrite, FRAG_SCHEMA).withColumn("run_id", F.lit(run_id))
+
+    # surviving manifest = everything except the compacted units'
+    # COMMITTED rows: non-target units verbatim, and in-flight runs'
+    # young uncommitted rows (even of target units) must outlive the
+    # rewrite — they commit their lineage later
+    target_col = F.col("unit").isin(targets)
+    # anti/semi joins move their key columns first — re-project both
+    # legs to the manifest's column order before the positional union
+    survivors = (
+        manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_anti")
+        .select(*manifest.columns)
+        .union(committed_rows.where(~target_col).select(*manifest.columns))
+    )
+
+    cur = os.path.basename(data_dir.rstrip("/"))
+    ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
+    new_name = f"data_v{ver + 1}"
+    new_dir = (
+        os.path.join(output_dir, new_name)
+        if "://" not in output_dir
+        else f"{output_dir}/{new_name}"
+    )
+    survivors.unionByName(new_frags, allowMissingColumns=True).write.mode(
+        "overwrite"
+    ).parquet(new_dir)
+
+    # lineage first (the new rows' visibility key), pointer swap last —
+    # until the swap, readers resolve the old manifest, which the new
+    # lineage rows cannot touch (their rows exist only in the new dir)
+    new_units = (
+        spark.read.parquet(new_dir)
+        .where(F.col("run_id") == run_id)
+        .groupBy("unit")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("wall_ms").alias("wall_ms"),
+            F.count("*").alias("n_fragments"),
+            F.first("codecs").alias("codecs"),
+        )
+    )
+    (
+        new_units.withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("ok"))
+        .withColumn("batch_tag", F.lit("compact"))
+        .withColumn("committed_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(lineage_dir)
+    )
+    set_manifest_dir(output_dir, new_name)
+
+    after = (
+        spark.read.parquet(new_dir)
+        .where(F.col("run_id") == run_id)
+        .agg(F.count("*").alias("n"), F.sum("bytes_out").alias("b"))
+        .collect()[0]
+    )
+    report["slices_after"] = int(after.n or 0)
+    report["bytes_after"] = int(after.b or 0)
+    report["manifest_rewritten"] = True
+    return report
+
+
+def q_compact_roundtrip(spark, sf_dir: str):
+    """Driver-contract query: ingest the documents table in FOUR small
+    appends (the fragment drift a streaming table accrues), compact, and
+    decode through the rewritten manifest.  The oracle is a plain
+    SELECT, so the driver's value hash certifies the rewrite moved every
+    row bit-identically; the query itself also asserts the rewrite
+    actually merged fragments (fewer slices after than before)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import EncodeJobConfig, decode_dataset, encode_job
+
+    out = tempfile.mkdtemp(prefix="upes_cmpq_")
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    for i in range(4):
+        part = df.where(F.crc32(F.col("doc_id")) % 4 == i)
+        cfg = EncodeJobConfig(
+            output_dir=out,
+            key_col="doc_id",
+            size_cols=("text",),
+            target_unit_bytes=4 << 20,
+            chunk_rows=64,
+            skip_completed=False,
+            batch_tag=f"append_{i}",
+        )
+        encode_job(spark, part, cfg)
+
+    rep = compact(spark, out, chunk_rows=32768)
+    if not rep["units_compacted"] or rep["slices_after"] >= rep["slices_before"]:
+        raise RuntimeError(f"compaction merged nothing: {rep}")
+    dec = decode_dataset(spark, out)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )

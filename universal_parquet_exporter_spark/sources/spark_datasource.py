@@ -322,6 +322,17 @@ class _EncodedReader(DataSourceReader):
                 if lo is not None or hi is not None:
                     allowed = np.asarray(units_for_key_range(plan, lo, hi), dtype=np.int64)
                     keep &= np.isin(units, allowed)
+                for col, op, v in self._terms:
+                    # IN on the key: union of point ranges — the
+                    # point-lookup-list pattern prunes to just the
+                    # units that could hold any listed key
+                    if col == plan.key_col and op == "in" and all(
+                        isinstance(x, str) for x in v
+                    ):
+                        pts: set[int] = set()
+                        for x in v:
+                            pts.update(units_for_key_range(plan, x, x))
+                        keep &= np.isin(units, np.asarray(sorted(pts), dtype=np.int64))
 
         files = man.column("file").to_pylist()
         offsets = man.column("offset").to_pylist()
