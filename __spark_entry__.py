@@ -47,6 +47,9 @@ from universal_parquet_exporter_spark.sources.spark_datasource import (
 from universal_parquet_exporter_spark.sources.spark_datasource import (
     q_source_write_roundtrip as _q_source_write_roundtrip,
 )
+from universal_parquet_exporter_spark.sources.spark_datasource import (
+    q_evolve_roundtrip as _q_evolve_roundtrip,
+)
 from universal_parquet_exporter_spark.operators import (
     dedup,
     multimodal,
@@ -89,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "source_read_filtered": _q_source_read_filtered,
         "source_write_roundtrip": _q_source_write_roundtrip,
+        "evolve_roundtrip": _q_evolve_roundtrip,
         # --- reference relational surface (SURVEY.md §2B) ---
         "projection_alias": relational.q_projection_alias,
         "filter_compare": relational.q_filter_compare,
@@ -588,6 +592,16 @@ def oracle_sql() -> dict[str, str]:
         # back must reproduce the source exactly
         "source_write_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # additive schema evolution: two appends with different schemas
+        # decode as the union with typed NULLs padding each generation
+        "evolve_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS score "
+            "FROM documents WHERE CAST(doc_id AS VARCHAR) < '25' "
+            "UNION ALL "
+            "SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source, n_chars, "
+            "n_chars / 10.0 AS score "
+            "FROM documents WHERE CAST(doc_id AS VARCHAR) >= '25'"
         ),
         # nested array<float> columns through the same engine, bit-identical
         # (exploded to scalars: nested arrays don't hash portably)

@@ -238,8 +238,12 @@ def test_writer_abort_drops_payload(spark, tmp_path):
     fake = os.path.join(payload_dir, "frag-aborted-test.bin")
     with open(fake, "wb") as f:
         f.write(b"dead")
+    from pyspark.sql.types import StructType
+
     writer = sds._EncodedBatchWriter(
-        {"path": out, "key_col": "doc_id"}, ["doc_id", "text"], overwrite=False
+        {"path": out, "key_col": "doc_id"},
+        StructType.fromDDL("doc_id string, text string"),
+        overwrite=False,
     )
     writer.abort([sds._FragMessage([{"file": "frag-aborted-test.bin"}]), None])
     assert not os.path.exists(fake)
@@ -301,7 +305,7 @@ def test_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "replay")
     df = _docs(spark).limit(40)
     load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
-    w = sds._EncodedStreamWriter({"path": out, "key_col": "doc_id"}, ["doc_id", "text", "lang", "source", "n_chars"])
+    w = sds._EncodedStreamWriter({"path": out, "key_col": "doc_id"}, df.schema)
 
     batches = df.toArrow().to_batches()
     msg1 = w.write(iter(batches))

@@ -11,9 +11,24 @@ import json
 
 import pyarrow as pa
 
-from .chunk import decode_array, encode_array
+from .chunk import decode_array, encode_array, tag_type
 
 _MAGIC = b"UPE1"
+
+
+def read_chunk_schema(fh) -> pa.Schema:
+    """Arrow schema of the chunk a (seekable, positioned) handle points
+    at, from the container meta ALONE — the header and JSON are read,
+    no payload buffer is touched or decoded.  This is what schema
+    probing should cost: O(meta), not O(chunk)."""
+    head = fh.read(8)
+    if head[:4] != _MAGIC:
+        raise ValueError("bad container magic")
+    meta_len = int.from_bytes(head[4:8], "little")
+    meta_doc = json.loads(fh.read(meta_len))
+    return pa.schema(
+        [pa.field(c["name"], tag_type(c["type"])) for c in meta_doc["cols"]]
+    )
 
 
 def serialize_chunk(
@@ -71,14 +86,20 @@ def _codec_label(meta: dict) -> str:
     return str(codec)
 
 
-def deserialize_chunk(payload: bytes, columns: list[str] | None = None) -> pa.Table:
+def deserialize_chunk(
+    payload: bytes, columns: list[str] | None = None, missing_ok: bool = False
+) -> pa.Table:
     """Exact inverse of :func:`serialize_chunk`.  With ``columns``, only
     those columns are DECODED — excluded columns' buffers are skipped by
     their recorded lengths without touching the codec layer (reading
     only ``text`` never pays for decompressing ``html``), in requested
     order.  An empty list is normalized to None (full decode) so this
     layer agrees with the pipeline's ``_arrow_to_ddl``, which treats
-    ``[]`` as falsy and emits the full schema."""
+    ``[]`` as falsy and emits the full schema.  ``missing_ok`` returns
+    the present subset (requested order) instead of raising — the
+    schema-evolution path, where chunks written before a column existed
+    simply don't have it and the caller null-pads from the union
+    schema."""
     if not columns:
         columns = None
     if payload[:4] != _MAGIC:
@@ -98,7 +119,7 @@ def deserialize_chunk(payload: bytes, columns: list[str] | None = None) -> pa.Ta
         arrays[col_meta["name"]] = decode_array(col_meta, bufs)
     if columns is not None:
         missing = [c for c in columns if c not in arrays]
-        if missing:
+        if missing and not missing_ok:
             raise KeyError(f"columns not in chunk: {missing}")
-        return pa.table({c: arrays[c] for c in columns})
+        return pa.table({c: arrays[c] for c in columns if c in arrays})
     return pa.table(arrays)

@@ -880,6 +880,94 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
 _FILTER_OPS = ("<", "<=", ">", ">=", "=", "==")
 
 
+def _union_probe_schema(payload_dir: str, probes: list[tuple[str, int]]) -> pa.Schema:
+    """Union-by-name Arrow schema over one META-ONLY probe per distinct
+    column-name set (container header + JSON, no payload decoded) — the
+    engine's schema-evolution resolution, Iceberg-style: appends may ADD
+    columns (older chunks null-pad on decode) or omit columns (newer
+    rows null-pad), but a column present in two chunk generations must
+    agree on type — a conflict is a loud error, never a silent cast.
+    The base is the widest probe (stable tie-break on the name tuple);
+    remaining fields append in that deterministic iteration order, so
+    the union schema is identical across runs and partitionings."""
+    from .container import read_chunk_schema
+
+    schemas = []
+    for fname, off in probes:
+        fh = _open_payload(payload_dir, fname)
+        try:
+            fh.seek(off)
+            schemas.append(read_chunk_schema(fh))
+        finally:
+            fh.close()
+    schemas.sort(key=lambda s: (-len(s.names), tuple(s.names)))
+    fields = list(schemas[0])
+    seen = {f.name: _ddl_type(f.type) for f in fields}
+    for s in schemas[1:]:
+        for f in s:
+            d = _ddl_type(f.type)
+            if f.name in seen:
+                if seen[f.name] != d:
+                    raise ValueError(
+                        f"schema conflict for column {f.name!r} across chunk "
+                        f"generations: {seen[f.name]} vs {d}"
+                    )
+            else:
+                fields.append(f)
+                seen[f.name] = d
+    return pa.schema(fields)
+
+
+def _probe_rows(manifest_df) -> list:
+    """One ``(file, offset)`` probe row per DISTINCT column-name set in a
+    committed-manifest DataFrame, derived from the manifest's own codecs
+    maps — probe count tracks schema GENERATIONS, never row count, and
+    no payload byte is read to find them."""
+    from pyspark.sql import functions as F
+
+    return (
+        manifest_df.groupBy(
+            F.to_json(
+                F.sort_array(F.map_keys(F.from_json(F.col("codecs"), "map<string,string>")))
+            ).alias("_ns")
+        )
+        .agg(F.first("file").alias("file"), F.first("offset").alias("offset"))
+        .collect()
+    )
+
+
+def _pad_table(tbl: pa.Table, fields: list) -> pa.Table:
+    """Conform a decoded chunk to the union schema's requested fields:
+    present columns pass through (decode order already matches), absent
+    ones become typed all-null columns — rows written before a column
+    existed read back as null, the Iceberg add-column semantics.  Shared
+    columns are type-CHECKED (by normalized DDL, so large/small string
+    and timestamp-unit differences stay benign): a type flip between
+    chunk generations with identical column-name sets is invisible to
+    the union probe (one probe per name set), so this per-chunk check is
+    where it surfaces — a loud schema-conflict error, never a silent
+    cast."""
+    names = tbl.schema.names
+    for f in fields:
+        if f.name in names:
+            have = _ddl_type(tbl.schema.field(f.name).type)
+            want = _ddl_type(f.type)
+            if have != want:
+                raise ValueError(
+                    f"schema conflict for column {f.name!r} across chunk "
+                    f"generations: {have} vs {want}"
+                )
+    if names == [f.name for f in fields]:
+        return tbl
+    cols = []
+    for f in fields:
+        if f.name in names:
+            cols.append(tbl.column(f.name))
+        else:
+            cols.append(pa.chunked_array([pa.nulls(tbl.num_rows, f.type)]))
+    return pa.table(cols, names=[f.name for f in fields])
+
+
 def decode_dataset(
     spark,
     output_dir: str,
@@ -911,14 +999,20 @@ def decode_dataset(
     prunes, and the exact predicate is re-applied to the decoded rows.
     Filter columns must be included in ``columns`` when both are given;
     datasets encoded before zone maps existed decode fine (no stats
-    column → no pruning)."""
+    column → no pruning).
+
+    Schema evolution (additive): appends may add or omit columns — the
+    output schema is the union-by-name over all chunk generations
+    (meta-only probes), and generations that predate a column read back
+    as nulls; a column whose TYPE differs between generations raises a
+    schema-conflict error rather than casting silently."""
     from pyspark.sql import functions as F
 
     data_dir = manifest_dir(output_dir)
     payload_dir = os.path.join(output_dir, "payload")
     raw_manifest = spark.read.parquet(data_dir)
     has_stats = "stats" in raw_manifest.columns
-    sel = ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows"]
+    sel = ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "codecs"]
     if has_stats:
         sel.append("stats")
     committed = (
@@ -952,22 +1046,26 @@ def decode_dataset(
         units = units_for_key_range(plan, key_range[0], key_range[1])
         enc = enc.where(F.col("unit").isin(units))
 
-    sample = enc_committed.select("file", "offset", "length").limit(1).collect()
-    if not sample:
+    # one meta-only probe per distinct column-name set (derived from the
+    # manifest's own codecs maps — no payload read), unioned by name:
+    # schema evolution means different chunk generations may carry
+    # different column sets, and a single-chunk probe would miss columns
+    probe_rows = _probe_rows(enc_committed)
+    if not probe_rows:
         raise ValueError("empty encoded dataset")
-    fh0 = _open_payload(payload_dir, sample[0].file)
-    try:
-        fh0.seek(sample[0].offset)
-        probe = deserialize_chunk(fh0.read(sample[0].length))
-    finally:
-        fh0.close()
-    out_schema = _arrow_to_ddl(probe.schema, columns)
+    probe = _union_probe_schema(payload_dir, [(r.file, r.offset) for r in probe_rows])
+    if columns:
+        missing = [c for c in columns if c not in probe.names]
+        if missing:
+            raise ValueError(f"columns not in dataset: {missing}")
+    out_schema = _arrow_to_ddl(probe, columns)
+    want_fields = [probe.field(c) for c in columns] if columns else list(probe)
 
     if filters:
         for c, op, _v in filters:
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
-            if c not in probe.schema.names:
+            if c not in probe.names:
                 raise ValueError(f"filter column {c!r} not in dataset schema")
             if columns is not None and c not in columns:
                 raise ValueError(f"filters need column {c!r} in columns (residual filter)")
@@ -978,7 +1076,7 @@ def decode_dataset(
             # comparisons stay exact (no double round-trip past 2^53).
             keep = None
             for c, op, v in filters:
-                ftype = probe.schema.field(c).type
+                ftype = probe.field(c).type
                 if pa.types.is_integer(ftype):
                     cast_to = "long"
                 elif pa.types.is_floating(ftype):
@@ -1020,8 +1118,12 @@ def decode_dataset(
                         fh.seek(off)
                         # column pruning happens INSIDE the container:
                         # excluded columns' buffers are skipped, never
-                        # decompressed
-                        cur_tbl = deserialize_chunk(fh.read(ln), columns)
+                        # decompressed; columns a chunk generation
+                        # predates are null-padded from the union schema
+                        cur_tbl = _pad_table(
+                            deserialize_chunk(fh.read(ln), columns, missing_ok=True),
+                            want_fields,
+                        )
                         cur_key = (fname, off)
                     for b in cur_tbl.slice(roff, nr).to_batches():
                         if b.num_rows:

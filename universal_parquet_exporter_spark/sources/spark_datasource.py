@@ -91,11 +91,14 @@ from pyspark.sql.datasource import (
 from ..encode.container import deserialize_chunk
 from ..encode.pipeline import (
     _arrow_to_ddl,
+    _ddl_type,
     _encode_stream,
     _load_plan,
     _normalize_batch,
     _open_payload,
+    _pad_table,
     _payload_fs,
+    _union_probe_schema,
     manifest_dir,
     set_manifest_dir,
 )
@@ -142,7 +145,7 @@ def _committed_manifest(output_dir: str) -> pa.Table:
     the same order of driver-side state Spark's own file index keeps."""
     man = _read_meta_table(
         manifest_dir(output_dir),
-        ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "stats"],
+        ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "stats", "codecs"],
     )
     lin = _read_meta_table(os.path.join(output_dir, "lineage"), ["unit", "run_id", "status"])
     if man is None or lin is None or man.num_rows == 0:
@@ -170,18 +173,27 @@ def _committed_manifest(output_dir: str) -> pa.Table:
 
 
 def _probe_chunk_schema(output_dir: str, man: pa.Table) -> pa.Schema:
-    """Arrow schema from the first committed chunk (orphan-safe by
-    construction — the row came through the lineage semi-join)."""
+    """Union-by-name schema over committed chunks (orphan-safe — rows
+    came through the lineage semi-join): one meta-only probe per
+    distinct column-name set, the same evolution-aware resolution
+    ``decode_dataset`` uses (column sets come from the manifest's own
+    codecs maps; distinct codecs STRINGS are deduped before any JSON
+    parse, so planning cost tracks codec diversity, not row count)."""
     if man.num_rows == 0:
         raise ValueError(f"empty encoded dataset at {output_dir}")
     payload_dir = os.path.join(output_dir, "payload")
-    fh = _open_payload(payload_dir, man.column("file")[0].as_py())
-    try:
-        fh.seek(man.column("offset")[0].as_py())
-        probe = deserialize_chunk(fh.read(man.column("length")[0].as_py()))
-    finally:
-        fh.close()
-    return probe.schema
+    files = man.column("file").to_pylist()
+    offsets = man.column("offset").to_pylist()
+    codecs = man.column("codecs").to_pylist() if "codecs" in man.schema.names else [None] * man.num_rows
+    by_ns: dict[tuple, tuple[str, int]] = {}
+    seen_cj: set = set()
+    for i, cj in enumerate(codecs):
+        if cj in seen_cj:
+            continue
+        seen_cj.add(cj)
+        ns = tuple(sorted(json.loads(cj).keys())) if cj else ("",)
+        by_ns.setdefault(ns, (files[i], offsets[i]))
+    return _union_probe_schema(payload_dir, sorted(by_ns.values()))
 
 
 # ---------------------------------------------------------------------------
@@ -286,12 +298,15 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
 class _ChunkScanPartition(InputPartition):
     """One scan task: a locality-packed run of chunks.  ``chunks`` is
     ``[(file, offset, length, [(row_off, n_rows), ...]), ...]`` sorted by
-    (file, offset) so the read loop deserializes each chunk once."""
+    (file, offset) so the read loop deserializes each chunk once.
+    ``fields`` are the output Arrow fields (union schema restricted to
+    the requested columns) — chunks predating a column null-pad to it."""
 
-    def __init__(self, payload_dir: str, columns: list[str] | None, chunks: list):
+    def __init__(self, payload_dir: str, columns: list[str] | None, chunks: list, fields: list):
         self.payload_dir = payload_dir
         self.columns = columns
         self.chunks = chunks
+        self.fields = fields
 
 
 class _EncodedReader(DataSourceReader):
@@ -311,7 +326,13 @@ class _EncodedReader(DataSourceReader):
         man = _committed_manifest(self.path)
         payload_dir = os.path.join(self.path, "payload")
         if man.num_rows == 0:
-            return [_ChunkScanPartition(payload_dir, self.columns, [])]
+            return [_ChunkScanPartition(payload_dir, self.columns, [], [])]
+        probe_schema = _probe_chunk_schema(self.path, man)
+        want_fields = (
+            [probe_schema.field(c) for c in self.columns]
+            if self.columns
+            else list(probe_schema)
+        )
 
         units = np.asarray(man.column("unit").to_pylist(), dtype=np.int64)
         keep = np.ones(man.num_rows, dtype=bool)
@@ -354,9 +375,6 @@ class _EncodedReader(DataSourceReader):
             chunk_len[k] = lengths[i]
             chunk_stats[k] = stats[i]
 
-        probe_schema = None
-        if self._terms:
-            probe_schema = _probe_chunk_schema(self.path, man)
         ordered = []
         for k in sorted(chunks):
             if self._terms and not _chunk_keep(chunk_stats[k], self._terms, probe_schema):
@@ -372,10 +390,10 @@ class _EncodedReader(DataSourceReader):
             cur.append(ch)
             cur_bytes += ch[2]
             if cur_bytes >= self.target_bytes:
-                parts.append(_ChunkScanPartition(payload_dir, self.columns, cur))
+                parts.append(_ChunkScanPartition(payload_dir, self.columns, cur, want_fields))
                 cur, cur_bytes = [], 0
         if cur or not parts:
-            parts.append(_ChunkScanPartition(payload_dir, self.columns, cur))
+            parts.append(_ChunkScanPartition(payload_dir, self.columns, cur, want_fields))
         return parts
 
     def read(self, partition: _ChunkScanPartition):
@@ -386,7 +404,10 @@ class _EncodedReader(DataSourceReader):
                 if fh is None:
                     fh = handles[fname] = _open_payload(partition.payload_dir, fname)
                 fh.seek(off)
-                tbl = deserialize_chunk(fh.read(length), partition.columns)
+                tbl = _pad_table(
+                    deserialize_chunk(fh.read(length), partition.columns, missing_ok=True),
+                    partition.fields,
+                )
                 for roff, nr in slices:
                     for b in tbl.slice(roff, nr).to_batches():
                         if b.num_rows:
@@ -473,6 +494,29 @@ class _FragMessage(WriterCommitMessage):
         self.rows = rows
 
 
+def _check_append_schema(output_dir: str, schema) -> None:
+    """Additive schema evolution, type-stable: an append may ADD columns
+    (older rows null-pad on decode) or OMIT columns (new rows null-pad),
+    but a column shared with any existing chunk generation must keep its
+    type — a silent type flip would poison the union probe for every
+    future reader, so it fails here, at write planning time."""
+    man = _committed_manifest(output_dir)
+    if man.num_rows == 0:
+        return
+    union = _probe_chunk_schema(output_dir, man)
+    for f in schema.fields:
+        if f.name not in union.names:
+            continue
+        have = _ddl_type(union.field(f.name).type)
+        got = f.dataType.simpleString().replace("bigint", "long")
+        if got != have:
+            raise ValueError(
+                f"type conflict appending column {f.name!r}: dataset has "
+                f"{have}, append writes {got} (schema evolution is additive "
+                "only — cast upstream or use a new column name)"
+            )
+
+
 def _next_manifest_name(output_dir: str) -> str:
     """Fresh ``data_v<N>`` name above every existing version (a crashed
     overwrite's unreferenced dir must not be reused)."""
@@ -503,7 +547,8 @@ def _next_manifest_name(output_dir: str) -> str:
 class _EncodedWriterBase:
     """Shared executor-side encode + driver-side commit bookkeeping."""
 
-    def __init__(self, options, schema_names: list[str]):
+    def __init__(self, options, schema):
+        schema_names = [f.name for f in schema.fields]
         self.path = options.get("path")
         if not self.path:
             raise ValueError("upe_encoded requires a path: .save(<output_dir>)")
@@ -527,6 +572,7 @@ class _EncodedWriterBase:
             raise ValueError(
                 f"dataset plan partitions on {plan.key_col!r}, not {self.key_col!r}"
             )
+        _check_append_schema(self.path, schema)
         self.chunk_rows = int(options.get("chunk_rows", 32768))
         self.max_buffer_bytes = int(options.get("max_buffer_bytes", 256 << 20))
         self.run_id = uuid.uuid4().hex[:12]
@@ -605,8 +651,8 @@ class _EncodedWriterBase:
 
 
 class _EncodedBatchWriter(_EncodedWriterBase, DataSourceArrowWriter):
-    def __init__(self, options, schema_names: list[str], overwrite: bool):
-        super().__init__(options, schema_names)
+    def __init__(self, options, schema, overwrite: bool):
+        super().__init__(options, schema)
         self.overwrite = overwrite
         # target manifest dir is fixed at PLANNING time; the pointer swap
         # in commit() is what publishes it
@@ -731,6 +777,48 @@ def q_source_write_roundtrip(spark, sf_dir: str):
     )
 
 
+def q_evolve_roundtrip(spark, sf_dir: str):
+    """Driver-contract query: two appends with DIFFERENT schemas —
+    generation 1 keeps the base columns, generation 2 drops ``source``
+    and adds ``score`` — then a full decode through the evolved union
+    schema.  The oracle is the equivalent UNION ALL with typed NULLs, so
+    the driver's value hash certifies the null-padded evolution
+    semantics end to end (meta-only union probe, per-chunk padding),
+    not just that it runs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..encode.pipeline import EncodeJobConfig, decode_dataset, load_or_build_plan
+
+    out = tempfile.mkdtemp(prefix="upes_evo_")
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    load_or_build_plan(
+        df,
+        EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=1 << 20),
+    )
+    register(spark)
+    old = df.where("doc_id < '25'")
+    new = (
+        df.where("doc_id >= '25'")
+        .drop("source")
+        .withColumn("score", F.col("n_chars").cast("double") / 10.0)
+    )
+    old.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    new.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    dec = decode_dataset(spark, out)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        "score",
+    )
+
+
 class EncodedContainerDataSource(DataSource):
     """``spark.read.format("upe_encoded")`` / ``df.write.format("upe_encoded")``.
 
@@ -771,9 +859,9 @@ class EncodedContainerDataSource(DataSource):
         return cls(self.options)
 
     def writer(self, schema, overwrite: bool):
-        return _EncodedBatchWriter(self.options, [f.name for f in schema.fields], overwrite)
+        return _EncodedBatchWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
         if overwrite:
             raise ValueError("upe_encoded streaming supports append mode only")
-        return _EncodedStreamWriter(self.options, [f.name for f in schema.fields])
+        return _EncodedStreamWriter(self.options, schema)
