@@ -137,3 +137,60 @@ def test_vacuum_reclaims_superseded_payload(spark, tmp_path):
 def test_compact_requires_plan(spark, tmp_path):
     with pytest.raises(ValueError, match="plan.json"):
         compact(spark, str(tmp_path / "nope"))
+
+
+def test_compact_evolved_dataset_preserves_union(spark, tmp_path):
+    """Schema evolution × compaction: a fragmented unit holding chunks
+    from TWO generations (one with ``source``, one with ``score``)
+    re-packs into shared chunks — the rewrite pads each decoded chunk to
+    the generations' union schema, so the decoded union (typed nulls for
+    absent-column rows) is identical before and after the rewrite."""
+    from universal_parquet_exporter_spark.encode.pipeline import load_or_build_plan
+
+    out = str(tmp_path / "evocmp")
+    df = _docs(spark)
+    old = df.where("doc_id < '25'")
+    new = (
+        df.where("doc_id >= '25'")
+        .drop("source")
+        .withColumn("score", F.col("n_chars").cast("double") / 10.0)
+    )
+    load_or_build_plan(
+        df,
+        EncodeJobConfig(
+            output_dir=out, key_col="doc_id", size_cols=("text",), target_unit_bytes=256 << 10
+        ),
+    )
+    for i, part in enumerate(
+        [
+            old.where(F.crc32(F.col("doc_id")) % 2 == 0),
+            new.where(F.crc32(F.col("doc_id")) % 2 == 0),
+            old.where(F.crc32(F.col("doc_id")) % 2 == 1),
+            new.where(F.crc32(F.col("doc_id")) % 2 == 1),
+        ]
+    ):
+        encode_job(
+            spark,
+            part,
+            EncodeJobConfig(
+                output_dir=out,
+                key_col="doc_id",
+                size_cols=("text",),
+                chunk_rows=64,
+                skip_completed=False,
+                batch_tag=f"gen_{i}",
+            ),
+        )
+
+    expected = old.withColumn("score", F.lit(None).cast("double")).unionByName(
+        new.withColumn("source", F.lit(None).cast("string"))
+    )
+    cols = sorted(expected.columns)
+    before = sorted(tuple(r) for r in decode_dataset(spark, out).select(*cols).collect())
+    assert before == sorted(tuple(r) for r in expected.select(*cols).collect())
+
+    rep = compact(spark, out, chunk_rows=32768)
+    assert rep["units_compacted"] > 0
+    assert rep["slices_after"] < rep["slices_before"]
+    after = sorted(tuple(r) for r in decode_dataset(spark, out).select(*cols).collect())
+    assert after == before

@@ -53,6 +53,9 @@ from .pipeline import (
     _encode_stream,
     _load_plan,
     _open_payload,
+    _pad_table,
+    _probe_rows,
+    _union_probe_schema,
     manifest_dir,
     set_manifest_dir,
 )
@@ -114,6 +117,20 @@ def compact(
     bplan = spark.sparkContext.broadcast(plan.to_json())
     key_col = plan.key_col
 
+    # schema evolution: a target unit may hold chunks from several
+    # generations (different column sets).  The rewrite merges their rows
+    # into shared chunks, so each decoded chunk is padded to the
+    # generations' UNION schema first (typed nulls, same union-by-name
+    # resolution decode uses — absent-column rows read back as null
+    # before and after compaction).  One meta-only probe per distinct
+    # name set over the TARGET slices finds that union; a type flip
+    # between generations fails loudly here, not mid-rewrite.
+    target_slices_df = committed_rows.where(F.col("unit").isin(targets))
+    probes = _probe_rows(target_slices_df.select("codecs", "file", "offset"))
+    union_fields = list(
+        _union_probe_schema(payload_dir, sorted((r.file, r.offset) for r in probes))
+    )
+
     def rewrite(iterator):
         """Decode this task's slices (one-chunk cache, slices arrive
         sorted by (file, offset)) and feed the rows straight back
@@ -132,7 +149,7 @@ def compact(
                             if fh is None:
                                 fh = handles[fname] = _open_payload(payload_dir, fname)
                             fh.seek(off)
-                            cur_tbl = deserialize_chunk(fh.read(ln))
+                            cur_tbl = _pad_table(deserialize_chunk(fh.read(ln)), union_fields)
                             cur_key = (fname, off)
                         for b in cur_tbl.slice(roff, nr).to_batches():
                             if b.num_rows:
@@ -156,7 +173,7 @@ def compact(
     # exchange in the job, and it carries bookkeeping rows, not payload
     n_part = max(1, min(len(targets), spark.sparkContext.defaultParallelism))
     slices = (
-        committed_rows.where(F.col("unit").isin(targets))
+        target_slices_df
         .select("file", "offset", "length", "row_off", "n_rows", "unit")
         .repartition(n_part, "unit")
         .sortWithinPartitions("file", "offset", "row_off")
