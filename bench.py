@@ -167,6 +167,35 @@ def _burn(sec: float) -> int:
     return n
 
 
+def host_bandwidth(procs: int) -> float:
+    """Total MEMORY-COPY rate (GB/s) available to `procs` concurrent
+    processes right now — the probe the encode workload actually
+    resembles.  The pure-CPU `_burn` probe stays flat through this
+    host's multi-minute memory-delivery dips (measured: gbps swung 2.2x
+    across reps whose `_burn` capacity moved <25%), so each timed sample
+    records both; the bandwidth figure is what explains slow samples."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        out = p.map(_bwburn, [1.5] * procs)
+    return float(sum(out))
+
+
+def _bwburn(sec: float) -> float:
+    import numpy as np
+
+    a = np.ones(8 << 20, dtype=np.int64)  # 64 MB
+    b = np.empty_like(a)
+    b[:] = a  # first-touch outside the timed window
+    t0 = time.perf_counter()
+    t_end = t0 + sec
+    n = 0
+    while time.perf_counter() < t_end:
+        b[:] = a
+        n += 1
+    return n * a.nbytes * 2 / (time.perf_counter() - t0) / 1e9  # rd+wr
+
+
 def _find_pids(pattern: str) -> list[int]:
     import glob
 
@@ -345,6 +374,32 @@ def scale_leg_main(argv: list[str]) -> None:
     os.sync()
     ctl = mp_control.run_control(input_parquet, slots, n_map, payload_dir_base=workdir)
 
+    best = _timed_leg(
+        mode, n_exec, input_parquet, warm_parquet, workdir, n_map, label,
+        n_samples, with_decode, warm_real, exec_cores, driver_cores,
+    )
+    best["mp_control_gbps"] = ctl["gbps"]
+    print("LEGJSON " + json.dumps(best))
+
+
+def _timed_leg(
+    mode: str,
+    n_exec: int,
+    input_parquet: str,
+    warm_parquet: str,
+    workdir: str,
+    n_map: int,
+    label: str,
+    n_samples: int,
+    with_decode: bool,
+    warm_real: bool,
+    exec_cores: set,
+    driver_cores: set,
+) -> dict:
+    """Session + warm-up + n_samples timed encodes for one leg; returns
+    the best-sample dict carrying all samples (LEGJSON shape, minus the
+    mp control the caller attaches)."""
+    slots = n_exec
     try:
         os.sched_setaffinity(0, exec_cores | driver_cores)
     except (AttributeError, OSError):
@@ -380,6 +435,7 @@ def scale_leg_main(argv: list[str]) -> None:
     best = None
     samples = []
     caps = []
+    bws = []
     for i in range(n_samples):
         os.sync()
         # probe the cores the timed work actually runs on: in lc mode
@@ -391,6 +447,7 @@ def scale_leg_main(argv: list[str]) -> None:
             except OSError:
                 pass
         cap = host_capacity(slots)
+        bw = host_bandwidth(slots)
         if mode == "lc":
             try:
                 os.sched_setaffinity(0, driver_cores)
@@ -398,8 +455,10 @@ def scale_leg_main(argv: list[str]) -> None:
                 pass
         m = encode_bench(spark, input_parquet, workdir, f"{label}_{i}", map_tasks=n_map)
         m["host_capacity"] = round(cap, 1)
+        m["host_bandwidth"] = round(bw, 2)
         samples.append(m["gbps"])
         caps.append(m["host_capacity"])
+        bws.append(m["host_bandwidth"])
         if best is None or m["gbps"] > best["gbps"]:
             if best is not None:
                 shutil.rmtree(best["output_dir"], ignore_errors=True)
@@ -408,7 +467,7 @@ def scale_leg_main(argv: list[str]) -> None:
             shutil.rmtree(m["output_dir"], ignore_errors=True)
     best["gbps_samples"] = samples
     best["capacity_samples"] = caps
-    best["mp_control_gbps"] = ctl["gbps"]
+    best["bandwidth_samples"] = bws
     if with_decode:
         from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
 
@@ -418,7 +477,93 @@ def scale_leg_main(argv: list[str]) -> None:
         best["decode_gbps"] = round(best["bytes_in"] / dec_wall / 1e9, 4)
     shutil.rmtree(best.pop("output_dir"), ignore_errors=True)
     spark.stop()
-    print("LEGJSON " + json.dumps(best))
+    return best
+
+
+def scale_pair_main(argv: list[str]) -> None:
+    """Subprocess entry for one PAIRED scaling rep: both legs of an
+    executor pair run back-to-back in this subprocess, so the host's
+    multi-minute memory-delivery dips (the dominant noise at the short
+    hi leg — measured: 8-executor samples swung 0.28-0.55 GB/s across
+    subprocesses while the pure-CPU capacity probe moved <25% and the
+    mp control, run minutes earlier in each subprocess, held ~0.6)
+    depress BOTH legs of a rep together and cancel in the rep's
+    efficiency ratio instead of biasing pooled per-leg medians taken in
+    different windows.  A paired design is the standard estimator on a
+    noisy shared host; each rep still ships its raw samples.
+
+    argv: lo hi order(lohi|hilo) input warm workdir n_map label
+          n_samples [--warm-real-hi]"""
+    lo, hi = int(argv[0]), int(argv[1])
+    order = argv[2]
+    input_parquet, warm_parquet, workdir = argv[3], argv[4], argv[5]
+    n_map = int(argv[6])
+    label = argv[7]
+    n_samples = int(argv[8])
+    warm_real_hi = "--warm-real-hi" in argv[9:]
+    sys.path.insert(0, os.path.join(REPO_DIR, "BENCH"))
+    import mp_control
+
+    host_n = os.cpu_count() or 8
+    driver_cores = set(range(host_n - DRIVER_CORES, host_n))
+    cores = {n: set(range(n)) for n in (lo, hi)}
+
+    # both controls first, before any JVM exists in this process (a
+    # resident JVM measurably halves a spawned pool on this kernel)
+    ctl = {}
+    for n in (lo, hi):
+        try:
+            os.sched_setaffinity(0, cores[n])
+        except (AttributeError, OSError):
+            pass
+        if n == lo:
+            _preread(input_parquet)
+        os.sync()
+        ctl[n] = mp_control.run_control(input_parquet, n, n_map, payload_dir_base=workdir)
+
+    legs = {}
+    seq = (lo, hi) if order == "lohi" else (hi, lo)
+    for n in seq:
+        legs[n] = _timed_leg(
+            "lc", n, input_parquet, warm_parquet, workdir, n_map,
+            f"{label}_x{n}", n_samples, with_decode=False,
+            warm_real=(warm_real_hi and n == hi),
+            exec_cores=cores[n], driver_cores=driver_cores,
+        )
+        legs[n]["mp_control_gbps"] = ctl[n]["gbps"]
+        os.sync()
+    print("PAIRJSON " + json.dumps({"lo": legs[lo], "hi": legs[hi], "order": order}))
+
+
+def _run_scale_pair_subprocess(
+    lo: int,
+    hi: int,
+    order: str,
+    input_parquet: str,
+    warm_parquet: str,
+    workdir: str,
+    n_map: int,
+    label: str,
+    n_samples: int,
+    warm_real_hi: bool,
+) -> dict:
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--scale-pair",
+        str(lo), str(hi), order, input_parquet, warm_parquet, workdir,
+        str(n_map), label, str(n_samples),
+    ]
+    if warm_real_hi:
+        cmd.append("--warm-real-hi")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    for line in proc.stdout.splitlines():
+        if line.startswith("PAIRJSON "):
+            return json.loads(line[len("PAIRJSON "):])
+    raise RuntimeError(
+        f"scale pair {label} produced no result (rc={proc.returncode}): "
+        f"{proc.stderr[-2000:]}"
+    )
 
 
 def _leg_summary(reps: list[dict]) -> dict:
@@ -430,6 +575,9 @@ def _leg_summary(reps: list[dict]) -> dict:
     out["capacity_reps"] = [c for m in reps for c in m["capacity_samples"]]
     out["capacity_median"] = round(statistics.median(out["capacity_reps"]), 1)
     out["host_capacity"] = max(out["capacity_reps"])
+    out["bandwidth_reps"] = [b for m in reps for b in m.get("bandwidth_samples", [])]
+    if out["bandwidth_reps"]:
+        out["bandwidth_median"] = round(statistics.median(out["bandwidth_reps"]), 2)
     out["mp_control_reps"] = [m["mp_control_gbps"] for m in reps]
     out["mp_control_gbps"] = max(out["mp_control_reps"])
     out["mp_control_median"] = round(statistics.median(out["mp_control_reps"]), 4)
@@ -442,17 +590,27 @@ def _leg_summary(reps: list[dict]) -> dict:
     return out
 
 
-def _pair_block(lo: dict, hi: dict, lo_n: int, hi_n: int) -> dict:
+def _pair_block(
+    lo: dict, hi: dict, lo_n: int, hi_n: int, paired_effs: list[float] | None = None
+) -> dict:
     """Scaling-evidence block for one (lo_n, hi_n) executor pair from two
-    leg summaries.  ``efficiency`` (the gate figure) is computed on the
-    MEDIAN over samples; best-of is reported beside it, never instead.
-    ``efficiency_vs_capacity`` divides by the pure-CPU capacity ratio the
-    host actually offered each leg; ``efficiency_vs_control`` divides by
-    the no-framework multiprocessing control's own scaling — the host's
-    practical ceiling — so ≈1.0 means the Spark job preserves the full
-    speedup plain multiprocessing achieves in the same pinned windows."""
+    leg summaries.  ``efficiency`` (the gate figure) is the median of the
+    PER-SUBPROCESS PAIRED efficiencies when the paired protocol ran
+    (both legs back-to-back per subprocess, so a host dip depresses both
+    legs of a rep and cancels in its ratio); ``efficiency_pooled`` keeps
+    the old cross-window pooled-median estimator beside it, and best-of
+    is reported beside, never instead.  ``efficiency_vs_capacity``
+    divides by the pure-CPU capacity ratio the host actually offered
+    each leg; ``efficiency_vs_control`` divides by the no-framework
+    multiprocessing control's own scaling — the host's practical
+    ceiling — so ≈1.0 means the Spark job preserves the full speedup
+    plain multiprocessing achieves in the same pinned windows."""
     factor = hi_n / lo_n
-    return {
+    pooled = (
+        round((hi["gbps_median"] / lo["gbps_median"]) / factor, 4)
+        if lo["gbps_median"] else None
+    )
+    block = {
         "executors_n": lo_n,
         "executors_4n": hi_n,
         "cores_n": lo_n,
@@ -463,8 +621,7 @@ def _pair_block(lo: dict, hi: dict, lo_n: int, hi_n: int) -> dict:
         "gbps_4n_median": hi["gbps_median"],
         "gbps_n_reps": lo["gbps_reps"],
         "gbps_4n_reps": hi["gbps_reps"],
-        "efficiency": round((hi["gbps_median"] / lo["gbps_median"]) / factor, 4)
-        if lo["gbps_median"] else None,
+        "efficiency_pooled": pooled,
         "efficiency_best": round((hi["gbps"] / lo["gbps"]) / factor, 4)
         if lo["gbps"] else None,
         "capacity_n": lo["host_capacity"],
@@ -499,6 +656,15 @@ def _pair_block(lo: dict, hi: dict, lo_n: int, hi_n: int) -> dict:
             else None
         ),
     }
+    if lo.get("bandwidth_reps"):
+        block["bandwidth_n_reps"] = lo["bandwidth_reps"]
+        block["bandwidth_4n_reps"] = hi["bandwidth_reps"]
+    if paired_effs:
+        block["efficiency"] = round(statistics.median(paired_effs), 4)
+        block["efficiency_paired_reps"] = [round(e, 4) for e in paired_effs]
+    else:
+        block["efficiency"] = pooled
+    return block
 
 
 def main() -> None:
@@ -550,37 +716,36 @@ def main() -> None:
             shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else workdir
             shm_work = tempfile.mkdtemp(prefix="upes_scalebench_", dir=shm_base)
             try:
-                # leg order interleaves pairs and never repeats a leg
-                # back-to-back (throughput decays across back-to-back
-                # runs while capacity stays flat)
+                # PAIRED protocol: each subprocess runs BOTH legs of one
+                # executor pair back-to-back (controls first, then the
+                # two sessions, inner leg order alternating across
+                # rounds), so the host's multi-minute memory-delivery
+                # dips hit both legs of a rep together and cancel in
+                # that rep's efficiency ratio.  2 rounds × 2 samples per
+                # leg = 4 samples/leg (same count as the old per-leg
+                # protocol) + 2 paired efficiency estimates per pair.
                 levels = [c for pair in SCALE_PAIRS for c in pair]
-                # 2 subprocesses × 2 timed samples per leg: a median of 4
-                # cannot be dragged below the middle pair by one
-                # catastrophic sample (the host occasionally hands a leg
-                # a ~2x-slow window)
                 rep_results: dict[int, list] = {c: [] for c in levels}
+                paired_effs: dict[tuple, list] = {p: [] for p in SCALE_PAIRS}
                 for r in range(2):
-                    # position-balance across rounds by swapping PAIR
-                    # order (1,4,2,8 then 2,8,1,4): each leg's two
-                    # subprocesses sit in different halves of the round,
-                    # so slot-in-round effects (writeback accumulation
-                    # from earlier legs) spread across legs — and unlike
-                    # a full reversal, no leg ever runs back-to-back at
-                    # the round boundary (throughput decays across
-                    # back-to-back runs while capacity stays flat)
-                    order = (
-                        levels if r % 2 == 0
-                        else [c for pair in SCALE_PAIRS[::-1] for c in pair]
-                    )
-                    for n_exec in order:
-                        rep = _run_scale_leg_subprocess(
-                            "lc", n_exec, input_parquet, warm_parquet, shm_work,
-                            SCALE_N_MAP, f"r{r}x{n_exec}",
+                    # alternate PAIR order and inner LEG order across
+                    # rounds so slot-in-round effects (writeback from
+                    # earlier subprocesses) spread across pairs and legs
+                    pair_order = SCALE_PAIRS if r % 2 == 0 else SCALE_PAIRS[::-1]
+                    inner = "lohi" if r % 2 == 0 else "hilo"
+                    for a, b in pair_order:
+                        pj = _run_scale_pair_subprocess(
+                            a, b, inner, input_parquet, warm_parquet, shm_work,
+                            SCALE_N_MAP, f"r{r}p{a}x{b}",
                             n_samples=2,
-                            with_decode=False,
-                            warm_real=(n_exec >= 4),
+                            warm_real_hi=(b >= 4),
                         )
-                        rep_results[n_exec].append(rep)
+                        rep_results[a].append(pj["lo"])
+                        rep_results[b].append(pj["hi"])
+                        lo_med = statistics.median(pj["lo"]["gbps_samples"])
+                        hi_med = statistics.median(pj["hi"]["gbps_samples"])
+                        if lo_med:
+                            paired_effs[(a, b)].append((hi_med / lo_med) / (b / a))
                         os.sync()
                 runs = {c: _leg_summary(rep_results[c]) for c in rep_results}
             finally:
@@ -656,7 +821,10 @@ def main() -> None:
             # BENCH_r3-era shape consumers already read; pairs{} is the
             # uniform per-pair view).  primary_pair names the source of
             # truth for gate readers.
-            scaling = _pair_block(lo, hi, SCALE_EXEC_N, SCALE_EXEC_4N)
+            scaling = _pair_block(
+                lo, hi, SCALE_EXEC_N, SCALE_EXEC_4N,
+                paired_effs=paired_effs.get(SCALE_PAIRS[0]),
+            )
             scaling["primary_pair"] = f"{SCALE_EXEC_N}x{SCALE_EXEC_4N}"
             scaling["topology"] = (
                 f"local-cluster[n,1,4096] — executor-JVM counts "
@@ -668,7 +836,10 @@ def main() -> None:
             # corroboration pairs beyond the primary (VERDICT r3 #3), each
             # a self-contained block
             scaling["pairs"] = {
-                f"{a}x{b}": _pair_block(runs[a], runs[b], a, b) for a, b in SCALE_PAIRS
+                f"{a}x{b}": _pair_block(
+                    runs[a], runs[b], a, b, paired_effs=paired_effs.get((a, b))
+                )
+                for a, b in SCALE_PAIRS
             }
             # the evidence that justifies gating on the SMALL pair: the
             # no-framework control's per-process rate collapses as
@@ -702,6 +873,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-leg":
         scale_leg_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-pair":
+        scale_pair_main(sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--gen-fixture":
         gen_fixture_main(sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--queries":

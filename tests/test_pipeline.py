@@ -616,3 +616,50 @@ def test_decode_key_range_empty_and_inverted(spark, webpages, outdir):
     assert sub.count() == expect.count()
     j = expect.alias("a").join(sub.alias("b"), "url")
     assert j.where(~F.col("a.lang").eqNullSafe(F.col("b.lang"))).count() == 0
+
+
+def test_prefetched_preserves_order_and_propagates_errors():
+    """The read-ahead wrapper must be a transparent iterator: same items
+    in the same order, producer exceptions re-raised at the consumer,
+    depth<=0 degrading to the plain iterator."""
+    from universal_parquet_exporter_spark.encode.pipeline import _prefetched
+
+    assert list(_prefetched(iter(range(100)), 2)) == list(range(100))
+    assert list(_prefetched(iter(range(10)), 0)) == list(range(10))
+    assert list(_prefetched(iter([]), 2)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = _prefetched(boom(), 2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer failed"):
+        list(it)
+
+
+def test_encode_job_prefetch_depths_agree(spark, tmp_path):
+    """prefetch_depth must not change WHAT is encoded: depth 0 and the
+    default read-ahead produce byte-identical decoded datasets."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_spark.encode.pipeline import (
+        EncodeJobConfig,
+        decode_dataset,
+        encode_parquet_job,
+    )
+
+    src = str(tmp_path / "src")
+    generate_webpages(spark, 3000, partitions=6).write.parquet(src)
+    outs = {}
+    for depth in (0, 2):
+        out = str(tmp_path / f"d{depth}")
+        encode_parquet_job(
+            spark, src,
+            EncodeJobConfig(output_dir=out, map_tasks=3, prefetch_depth=depth),
+        )
+        outs[depth] = sorted(
+            tuple(r) for r in decode_dataset(spark, out).collect()
+        )
+    assert outs[0] == outs[2]
+    assert len(outs[0]) == 3000

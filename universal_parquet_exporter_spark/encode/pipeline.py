@@ -222,6 +222,11 @@ class EncodeJobConfig:
     # (``<table>.files`` metadata table) as whole-file items whose row
     # groups the tasks expand themselves.
     input_format: str = "parquet"
+    # row groups read ahead of the encode loop by a task-local reader
+    # thread (pyarrow reads release the GIL, so the next group's
+    # IO+decompress overlaps the current chunk's encode kernels).  Task
+    # memory grows by at most depth x one decoded row group.  0 = serial.
+    prefetch_depth: int = 2
 
     def __post_init__(self):
         if not self.run_id:
@@ -530,6 +535,43 @@ def _resume_keep_mask(units: np.ndarray, done_local: np.ndarray) -> np.ndarray:
     return done_local[pos] != units
 
 
+def _prefetched(iterable, depth: int = 2):
+    """Yield from ``iterable`` with a bounded read-ahead thread: the
+    producer (pyarrow row-group reads — IO + decompress in C++, GIL
+    released) runs up to ``depth`` items ahead of the consumer (the
+    encode kernels), so read time hides behind encode time instead of
+    adding to it.  Exceptions propagate to the consumer; the queue bound
+    caps task memory at depth x one item.  ``depth<=0`` degrades to the
+    plain iterator (the A/B lever)."""
+    if depth <= 0:
+        yield from iterable
+        return
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _end = object()
+
+    def pump():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
+            return
+        q.put(_end)
+
+    t = threading.Thread(target=pump, daemon=True, name="upes-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is _end:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _encode_stream(
     iterator,
     plan_local: EncodePlan,
@@ -774,20 +816,27 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     chunk_rows = cfg.chunk_rows
     max_buf = cfg.max_buffer_bytes
 
+    prefetch = cfg.prefetch_depth
+
     def map_encode_files(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
 
-        def batches():
+        def tables():
             for batch in iterator:
                 paths = batch.column("path").to_pylist()
                 rgs = batch.column("rg").to_pylist()
                 for path, rg in zip(paths, rgs):
                     pf = _parquet_file(path)
                     for g in _expand_row_groups(pf, rg):
-                        tbl = pf.read_row_group(g, use_threads=False)
-                        tbl = _timestamps_to_us(tbl)
-                        yield from tbl.to_batches(max_chunksize=batch_rows)
+                        yield _timestamps_to_us(pf.read_row_group(g, use_threads=False))
+
+        def batches():
+            # read-ahead thread: the NEXT row group's IO+decompress
+            # (GIL-released pyarrow C++) overlaps the current chunk's
+            # encode kernels; bounded queue caps the extra task memory
+            for tbl in _prefetched(tables(), prefetch):
+                yield from tbl.to_batches(max_chunksize=batch_rows)
 
         yield from _encode_stream(
             batches(), plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
