@@ -595,11 +595,13 @@ def _pair_block(
 ) -> dict:
     """Scaling-evidence block for one (lo_n, hi_n) executor pair from two
     leg summaries.  ``efficiency`` (the gate figure) is the median of the
-    PER-SUBPROCESS PAIRED efficiencies when the paired protocol ran
-    (both legs back-to-back per subprocess, so a host dip depresses both
-    legs of a rep and cancels in its ratio); ``efficiency_pooled`` keeps
-    the old cross-window pooled-median estimator beside it, and best-of
-    is reported beside, never instead.  ``efficiency_vs_capacity``
+    PER-SAMPLE PAIRED efficiencies when the paired protocol ran (both
+    legs back-to-back per subprocess; sample i of each leg forms one
+    estimate, so a host dip depresses both members of a pair and cancels
+    in its ratio, and the median over 2x2 estimates survives one bad
+    sample); ``efficiency_pooled`` keeps the old cross-window
+    pooled-median estimator beside it, and best-of is reported beside,
+    never instead.  ``efficiency_vs_capacity``
     divides by the pure-CPU capacity ratio the host actually offered
     each leg; ``efficiency_vs_control`` divides by the no-framework
     multiprocessing control's own scaling — the host's practical
@@ -742,10 +744,17 @@ def main() -> None:
                         )
                         rep_results[a].append(pj["lo"])
                         rep_results[b].append(pj["hi"])
-                        lo_med = statistics.median(pj["lo"]["gbps_samples"])
-                        hi_med = statistics.median(pj["hi"]["gbps_samples"])
-                        if lo_med:
-                            paired_effs[(a, b)].append((hi_med / lo_med) / (b / a))
+                        # per-SAMPLE pairing: sample i of each leg within
+                        # this subprocess forms one efficiency estimate —
+                        # 2 subprocesses × 2 samples = 4 estimates per
+                        # pair, so the median survives one bad sample
+                        # (a median over 2 subprocess-level ratios does
+                        # not)
+                        for ls, hs in zip(
+                            pj["lo"]["gbps_samples"], pj["hi"]["gbps_samples"]
+                        ):
+                            if ls:
+                                paired_effs[(a, b)].append((hs / ls) / (b / a))
                         os.sync()
                 runs = {c: _leg_summary(rep_results[c]) for c in rep_results}
             finally:

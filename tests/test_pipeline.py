@@ -663,3 +663,57 @@ def test_encode_job_prefetch_depths_agree(spark, tmp_path):
         )
     assert outs[0] == outs[2]
     assert len(outs[0]) == 3000
+
+
+def test_encode_job_work_dist_modes_agree(spark, tmp_path):
+    """The broadcast+range work distribution must encode exactly what the
+    legacy rdd distribution does — same decoded rows, same unit layout."""
+    import pyarrow.parquet as pq
+
+    from universal_parquet_exporter_spark.encode.pipeline import (
+        EncodeJobConfig,
+        decode_dataset,
+        encode_parquet_job,
+    )
+
+    src = str(tmp_path / "src")
+    generate_webpages(spark, 3000, partitions=6).write.parquet(src)
+    outs = {}
+    units = {}
+    for mode in ("rdd", "range"):
+        out = str(tmp_path / mode)
+        m = encode_parquet_job(
+            spark, src,
+            EncodeJobConfig(output_dir=out, map_tasks=3, work_dist=mode),
+        )
+        outs[mode] = sorted(tuple(r) for r in decode_dataset(spark, out).collect())
+        units[mode] = m["encoded_units"]
+    assert outs["rdd"] == outs["range"]
+    assert len(outs["rdd"]) == 3000
+    assert units["rdd"] == units["range"]
+
+
+def test_prefetched_releases_pump_on_early_exit():
+    """A consumer that abandons the generator (task death mid-stream)
+    must release the pump thread — no permanent block on a full queue."""
+    import threading
+    import time as _time
+
+    from universal_parquet_exporter_spark.encode.pipeline import _prefetched
+
+    produced = []
+
+    def slow_producer():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = _prefetched(slow_producer(), 2)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop + drain
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # pump stopped early, not run to completion

@@ -227,6 +227,12 @@ class EncodeJobConfig:
     # IO+decompress overlaps the current chunk's encode kernels).  Task
     # memory grows by at most depth x one decoded row group.  0 = serial.
     prefetch_depth: int = 2
+    # how the (file, row-group) work list reaches tasks: "range" (default)
+    # broadcasts the list and drives tasks from a JVM-native range source
+    # — no python work-list relay in the encode stage; "rdd" is the old
+    # parallelize+createDataFrame shape, kept as the measured A/B lever
+    # (BENCH/workdist_ab.py).
+    work_dist: str = "range"
 
     def __post_init__(self):
         if not self.run_id:
@@ -551,25 +557,46 @@ def _prefetched(iterable, depth: int = 2):
 
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     _end = object()
+    stop = threading.Event()
 
     def pump():
         try:
             for item in iterable:
-                q.put(item)
+                # bounded put that notices consumer abandonment: a task
+                # that dies mid-stream must not leave this thread blocked
+                # forever on a full queue (pinning row groups) in a
+                # reused worker
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
             return
         q.put(_end)
 
     t = threading.Thread(target=pump, daemon=True, name="upes-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _end:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _end:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a pump waiting on a full queue
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
 
 
 def _encode_stream(
@@ -818,18 +845,49 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
 
     prefetch = cfg.prefetch_depth
 
+    # task granularity: cfg.map_tasks if pinned (benchmarks pin it so
+    # every parallelism level runs identical per-task work), else ~4
+    # waves of the current parallelism; chunking no longer ties fragment
+    # size to this split, so the choice only balances scheduling overhead
+    # against stragglers
+    n_map = cfg.map_tasks or max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
+    n_map = min(n_map, len(items))
+    # work distribution: the items list is BROADCAST (torrent-shipped
+    # once per executor — ~50 MB for 100 TB of 64 MB row groups) and a
+    # JVM-native range source carries only slice ids, so the encode
+    # stage has NO python work-list relay in front of it.  The old shape
+    # (`parallelize(items)` + `createDataFrame`) chained a second python
+    # runner into the stage to unpickle the work rows — measured up to
+    # ~40% slower at 8 single-core executors (BENCH/workdist_ab.py);
+    # cfg.work_dist="rdd" keeps it as the A/B lever.
+    bitems = spark.sparkContext.broadcast(items) if cfg.work_dist != "rdd" else None
+    n_items = len(items)
+
     def map_encode_files(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = np.array(bdone.value, dtype=np.int64)
 
-        def tables():
+        def slice_items():
+            if bitems is None:  # rdd mode: items arrive as input rows
+                for batch in iterator:
+                    paths = batch.column("path").to_pylist()
+                    rgs = batch.column("rg").to_pylist()
+                    yield from zip(paths, rgs)
+                return
+            all_items = bitems.value
             for batch in iterator:
-                paths = batch.column("path").to_pylist()
-                rgs = batch.column("rg").to_pylist()
-                for path, rg in zip(paths, rgs):
-                    pf = _parquet_file(path)
-                    for g in _expand_row_groups(pf, rg):
-                        yield _timestamps_to_us(pf.read_row_group(g, use_threads=False))
+                for s in batch.column("id").to_pylist():
+                    s = int(s)
+                    # the same contiguous equal slicing parallelize uses
+                    yield from all_items[
+                        n_items * s // n_map : n_items * (s + 1) // n_map
+                    ]
+
+        def tables():
+            for path, rg in slice_items():
+                pf = _parquet_file(path)
+                for g in _expand_row_groups(pf, rg):
+                    yield _timestamps_to_us(pf.read_row_group(g, use_threads=False))
 
         def batches():
             # read-ahead thread: the NEXT row group's IO+decompress
@@ -842,19 +900,12 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
             batches(), plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
         )
 
-    # task granularity: cfg.map_tasks if pinned (benchmarks pin it so
-    # every parallelism level runs identical per-task work), else ~4
-    # waves of the current parallelism; chunking no longer ties fragment
-    # size to this split, so the choice only balances scheduling overhead
-    # against stragglers
-    n_map = cfg.map_tasks or max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
-    n_map = min(n_map, len(items))
-    # parallelize slices the (sorted) work-list into n_map CONTIGUOUS,
-    # equal-size task slices — exact balance, and a task's row groups are
-    # adjacent in the source (round-robin repartition gives neither)
-    work = spark.createDataFrame(
-        spark.sparkContext.parallelize(items, n_map), "path string, rg int"
-    )
+    if cfg.work_dist == "rdd":
+        work = spark.createDataFrame(
+            spark.sparkContext.parallelize(items, n_map), "path string, rg int"
+        )
+    else:
+        work = spark.range(n_map, numPartitions=n_map)
     frags = work.mapInArrow(map_encode_files, FRAG_SCHEMA)
     return _finish_encode(spark, frags, plan, done, cfg)
 
