@@ -471,10 +471,18 @@ def _timed_leg(
     if with_decode:
         from universal_parquet_exporter_spark.encode.pipeline import decode_dataset
 
-        d0 = time.perf_counter()
-        best["decode_rows"] = decode_dataset(spark, best["output_dir"]).count()
-        dec_wall = time.perf_counter() - d0
-        best["decode_gbps"] = round(best["bytes_in"] / dec_wall / 1e9, 4)
+        # two passes, same rationale as the warm/cold query split: the
+        # first decode pays suite-order-dependent worker fault/JIT cost
+        # (measured 0.17-0.30 GB/s cold vs 0.52-0.57 warm on identical
+        # data at HEAD and at the pre-read-ahead revision alike, r4c
+        # probe) — steady-state decode rate is the warm pass.
+        dec_walls = []
+        for _ in range(2):
+            d0 = time.perf_counter()
+            best["decode_rows"] = decode_dataset(spark, best["output_dir"]).count()
+            dec_walls.append(time.perf_counter() - d0)
+        best["decode_gbps"] = round(best["bytes_in"] / dec_walls[-1] / 1e9, 4)
+        best["decode_gbps_cold"] = round(best["bytes_in"] / dec_walls[0] / 1e9, 4)
     shutil.rmtree(best.pop("output_dir"), ignore_errors=True)
     spark.stop()
     return best
@@ -584,7 +592,7 @@ def _leg_summary(reps: list[dict]) -> dict:
     # decode ran in one designated rep; carry its figures even when a
     # different rep won on gbps
     for m in reps:
-        for k in ("decode_rows", "decode_gbps"):
+        for k in ("decode_rows", "decode_gbps", "decode_gbps_cold"):
             if k in m and k not in out:
                 out[k] = m[k]
     return out
