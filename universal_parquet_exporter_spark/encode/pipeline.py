@@ -559,26 +559,30 @@ def _prefetched(iterable, depth: int = 2):
     _end = object()
     stop = threading.Event()
 
+    def put_or_abandon(item) -> bool:
+        # bounded put that notices consumer abandonment: a task that
+        # dies mid-stream must not leave this thread blocked forever on
+        # a full queue (pinning row groups) in a reused worker.  EVERY
+        # pump-side put goes through here — the terminal _end/exception
+        # puts included, since the consumer's finally-drain is one-pass
+        # and a plain blocking put can land just after it finishes.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
     def pump():
         try:
             for item in iterable:
-                # bounded put that notices consumer abandonment: a task
-                # that dies mid-stream must not leave this thread blocked
-                # forever on a full queue (pinning row groups) in a
-                # reused worker
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except _queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_abandon(item):
                     return
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            if not stop.is_set():
-                q.put(e)
+            put_or_abandon(e)
             return
-        q.put(_end)
+        put_or_abandon(_end)
 
     t = threading.Thread(target=pump, daemon=True, name="upes-prefetch")
     t.start()
