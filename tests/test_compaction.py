@@ -194,3 +194,22 @@ def test_compact_evolved_dataset_preserves_union(spark, tmp_path):
     assert rep["slices_after"] < rep["slices_before"]
     after = sorted(tuple(r) for r in decode_dataset(spark, out).select(*cols).collect())
     assert after == before
+
+
+def test_compact_skips_crashed_overwrite_version_dir(spark, tmp_path):
+    """Version allocation scans EXISTING data_v* dirs: a leftover
+    data_v3 from a crashed (or in-flight) DataSource overwrite must not
+    be clobbered — compact targets data_v4 and leaves v3 untouched."""
+    out = str(tmp_path / "cmpver")
+    df = _ingest_fragmented(spark, out)
+    stray = os.path.join(out, "data_v3")
+    os.makedirs(stray)
+    marker = os.path.join(stray, "in-flight-writer.parquet")
+    open(marker, "w").write("not ours")
+
+    rep = compact(spark, out, chunk_rows=32768)
+    assert rep["manifest_rewritten"]
+    assert manifest_dir(out).endswith("data_v4")
+    assert open(marker).read() == "not ours"  # stray dir untouched
+    got = {r.doc_id for r in decode_dataset(spark, out).select("doc_id").collect()}
+    assert got == {r.doc_id for r in df.select("doc_id").collect()}

@@ -103,7 +103,7 @@ def test_resume_skips_completed_units(spark, webpages, outdir):
     )
     m1 = encode_job(spark, subset, cfg)
     assert m1["encoded_units"] == k
-    assert completed_units(spark, outdir) == set(range(k))
+    assert set(completed_units(spark, outdir)) == set(range(k))
 
     # full rerun resumes: only the remaining units get encoded
     m2 = encode_job(spark, webpages, cfg)
@@ -219,7 +219,7 @@ def test_uri_scheme_output_dir(spark, webpages, outdir):
     assert metrics["rows"] == N_ROWS
     plan = load_or_build_plan(webpages, cfg)  # must reload via fs, not rebuild
     assert plan.n_units == metrics["plan_units"]
-    assert completed_units(spark, uri) == set(range(plan.n_units))
+    assert set(completed_units(spark, uri)) == set(range(plan.n_units))
     dec = decode_dataset(spark, uri, columns=["url", "text"])
     assert dec.columns == ["url", "text"]
     assert dec.count() == N_ROWS

@@ -294,18 +294,26 @@ def test_stream_sink_end_to_end_and_tags(spark, tmp_path):
         r.batch_tag
         for r in spark.read.parquet(os.path.join(out, "lineage")).select("batch_tag").collect()
     }
-    assert tags == {"ds_epoch_0", "ds_epoch_1"}
+    # tags are scoped by a checkpoint-derived query token so a later
+    # query's batchId 0 can't collide with this one's epoch 0
+    import hashlib
+
+    tok = hashlib.sha1(os.path.abspath(ck).encode()).hexdigest()[:12]
+    assert tags == {f"ds_epoch_{tok}_0", f"ds_epoch_{tok}_1"}
 
 
 def test_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     """A replayed micro-batch (sink committed, checkpoint lost) arrives
-    with the SAME batchId and fresh payload files: its commit must drop
-    the duplicates, not double the data."""
+    with the SAME batchId and fresh payload files — and, after a query
+    restart, through a NEW writer instance sharing the same checkpoint:
+    its commit must drop the duplicates, not double the data."""
     sds.register(spark)
     out = str(tmp_path / "replay")
+    ck = str(tmp_path / "replay_ck")
+    opts = {"path": out, "key_col": "doc_id", "checkpointLocation": ck}
     df = _docs(spark).limit(40)
     load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
-    w = sds._EncodedStreamWriter({"path": out, "key_col": "doc_id"}, df.schema)
+    w = sds._EncodedStreamWriter(opts, df.schema)
 
     batches = df.toArrow().to_batches()
     msg1 = w.write(iter(batches))
@@ -313,10 +321,59 @@ def test_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     n_first = spark.read.format("upe_encoded").load(out).count()
     assert n_first == 40
 
-    # replay: the task re-runs (new payload files), commit sees same id
-    msg2 = w.write(iter(df.toArrow().to_batches()))
+    # replay after a RESTART: a fresh writer (new run_id) but the same
+    # checkpoint → same query token → same tag → replay detected
+    w2 = sds._EncodedStreamWriter(opts, df.schema)
+    msg2 = w2.write(iter(df.toArrow().to_batches()))
     dup_files = {r["file"] for r in msg2.rows}
-    w.commit([msg2], batchId=7)
+    w2.commit([msg2], batchId=7)
     assert spark.read.format("upe_encoded").load(out).count() == n_first
     for name in dup_files:  # duplicate payload dropped, not orphaned
         assert not os.path.exists(os.path.join(out, "payload", name))
+
+
+def test_stream_fresh_query_batch0_is_not_a_replay(spark, tmp_path):
+    """A NEW streaming query (fresh checkpoint) writing to a dataset
+    that already received epochs restarts batchIds at 0; its first
+    commit must NOT be misclassified as a replay of the earlier query's
+    epoch 0 (which would silently drop the payload)."""
+    sds.register(spark)
+    out = str(tmp_path / "fresh")
+    df = _docs(spark).limit(40)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+
+    w1 = sds._EncodedStreamWriter(
+        {"path": out, "key_col": "doc_id", "checkpointLocation": str(tmp_path / "ck1")},
+        df.schema,
+    )
+    w1.commit([w1.write(iter(df.toArrow().to_batches()))], batchId=0)
+    assert spark.read.format("upe_encoded").load(out).count() == 40
+
+    # different checkpoint → different query → its batch 0 must commit
+    w2 = sds._EncodedStreamWriter(
+        {"path": out, "key_col": "doc_id", "checkpointLocation": str(tmp_path / "ck2")},
+        df.schema,
+    )
+    w2.commit([w2.write(iter(df.toArrow().to_batches()))], batchId=0)
+    assert spark.read.format("upe_encoded").load(out).count() == 80
+
+
+def test_overwrite_allows_column_type_change(spark, tmp_path):
+    """mode('overwrite') fully supersedes the old generation, so the
+    additive-evolution type guard must not block it (it still protects
+    append and the streaming sink)."""
+    sds.register(spark)
+    out = str(tmp_path / "ow_type")
+    df = _docs(spark).limit(30)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+
+    flipped = df.withColumn("n_chars", df.n_chars.cast("double"))
+    # append with a flipped type still fails loudly...
+    with pytest.raises(Exception, match="type conflict"):
+        flipped.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+    # ...but overwrite is a legitimate full replacement
+    flipped.write.format("upe_encoded").option("key_col", "doc_id").mode("overwrite").save(out)
+    back = spark.read.format("upe_encoded").load(out)
+    assert dict(back.dtypes)["n_chars"] == "double"
+    assert back.count() == 30

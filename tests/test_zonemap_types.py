@@ -1,0 +1,245 @@
+"""Zone maps over timestamp/date/decimal columns + scale-safe unit
+pruning + codec provenance (round-5 surface).
+
+The reference's only range diagnostic is ``MIN/MAX(order_date)``
+(/root/reference/examples/advanced_integration_example.py:168-169); the
+north rule's input schema makes ``warc_ts`` the canonical range-filter
+column, so timestamp bounds must prune (VERDICT r4 next-round #2).
+"""
+
+import json
+import os
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from universal_parquet_exporter_spark.encode.pipeline import (
+    EncodeJobConfig,
+    _chunk_stats,
+    _units_condition,
+    completed_units,
+    date_value_days,
+    decode_dataset,
+    encode_job,
+    manifest_dir,
+    ts_value_us,
+    unit_id_ranges,
+)
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "enc")
+
+
+def _typed_df(spark, n=600):
+    """Deterministic table with timestamp/date/decimal columns, keys
+    zero-padded so lexicographic unit order == id order (clustered)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * 3600_000_000
+            ).alias("ts"),  # 2024-01-01 + id hours
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+            (F.col("id").cast("decimal(12,2)") * Decimal("1.25")).cast(
+                "decimal(12,2)"
+            ).alias("price"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# _chunk_stats typed bounds
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_stats_records_typed_bounds():
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [datetime(2024, 1, 1), datetime(2024, 1, 3), None], pa.timestamp("us")
+            ),
+            "d": pa.array([date(2024, 1, 5), date(2024, 2, 1), None], pa.date32()),
+            "price": pa.array(
+                [Decimal("1.25"), Decimal("99999999.99"), None], pa.decimal128(12, 2)
+            ),
+            "body": pa.array(["x" * 500, "y" * 500, "z" * 500]),  # long strings skip
+        }
+    )
+    stats = json.loads(_chunk_stats(tbl))
+    assert stats["ts"] == [ts_value_us(datetime(2024, 1, 1)), ts_value_us(datetime(2024, 1, 3))]
+    assert stats["d"] == [date_value_days(date(2024, 1, 5)), date_value_days(date(2024, 2, 1))]
+    # decimals as exact strings: unscaled ints can overflow int64 at p38
+    assert stats["price"] == ["1.25", "99999999.99"]
+    assert "body" not in stats
+
+
+def test_chunk_stats_ns_timestamps_normalize_to_us():
+    tbl = pa.table(
+        {"ts": pa.array([datetime(2024, 6, 1, 12, 0, 0)], pa.timestamp("ns"))}
+    )
+    stats = json.loads(_chunk_stats(tbl))
+    assert stats["ts"][0] == ts_value_us(datetime(2024, 6, 1, 12, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# filtered decode with typed bounds (prunes AND stays exact)
+# ---------------------------------------------------------------------------
+
+
+def _qualifying(spark, outdir, col, lo_us=None, hi_us=None):
+    """Chunks whose recorded [min,max] can intersect [lo,hi] — ONE
+    aggregation row, no manifest collect."""
+    from pyspark.sql import functions as F
+
+    mn = F.get_json_object(F.col("stats"), f"$.{col}[0]").cast("long")
+    mx = F.get_json_object(F.col("stats"), f"$.{col}[1]").cast("long")
+    cond = F.lit(True)
+    if lo_us is not None:
+        cond = cond & (mx.isNull() | (mx >= lo_us))
+    if hi_us is not None:
+        cond = cond & (mn.isNull() | (mn <= hi_us))
+    row = (
+        spark.read.parquet(manifest_dir(outdir))
+        .agg(F.count("*").alias("total"), F.sum(cond.cast("long")).alias("q"))
+        .collect()[0]
+    )
+    return int(row.q), int(row.total)
+
+
+def test_timestamp_filter_prunes_and_is_exact(spark, outdir):
+    df = _typed_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    lo = datetime(2024, 1, 5)
+    hi = datetime(2024, 1, 10)
+    q, total = _qualifying(spark, outdir, "ts", ts_value_us(lo), ts_value_us(hi))
+    assert total > 1 and q < total, f"ts zone maps pruned nothing ({q}/{total})"
+
+    dec = decode_dataset(spark, outdir, filters=[("ts", ">=", lo), ("ts", "<=", hi)])
+    got = sorted(r.k for r in dec.collect())
+    exp = sorted(r.k for r in df.where((df.ts >= lo) & (df.ts <= hi)).collect())
+    assert got == exp and len(got) > 0
+
+
+def test_date_and_decimal_filters_exact(spark, outdir):
+    df = _typed_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    d_lo = date(2024, 3, 1)
+    dec1 = decode_dataset(spark, outdir, filters=[("d", ">=", d_lo)])
+    exp1 = df.where(df.d >= d_lo.isoformat()).count()
+    assert dec1.count() == exp1 > 0
+
+    p_hi = Decimal("100.00")
+    dec2 = decode_dataset(spark, outdir, filters=[("price", "<=", p_hi)])
+    exp2 = df.where(df.price <= p_hi).count()
+    assert dec2.count() == exp2 > 0
+    # decimal values round-trip exactly through the filter path
+    got = {r.price for r in dec2.collect()}
+    exp = {r.price for r in df.where(df.price <= p_hi).collect()}
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# scale-safe unit pruning: O(ranges) literals, identical bytes
+# ---------------------------------------------------------------------------
+
+
+def test_unit_id_ranges_collapse():
+    assert unit_id_ranges([]) == []
+    assert unit_id_ranges([7]) == [(7, 7)]
+    assert unit_id_ranges([3, 4, 5, 9, 10, 12]) == [(3, 5), (9, 10), (12, 12)]
+    # unsorted + duplicated input collapses the same way
+    assert unit_id_ranges([5, 3, 4, 4, 12, 10, 9]) == [(3, 5), (9, 10), (12, 12)]
+    # the common case — units_for_key_range returns one contiguous span
+    assert unit_id_ranges(range(100, 1100)) == [(100, 1099)]
+
+
+def test_units_condition_is_o_ranges_not_o_units(spark):
+    # a contiguous million-unit span must compile to ONE BETWEEN, not a
+    # million-literal isin (the 100 TB metadata-plane fix)
+    cond = _units_condition(range(1_000_000))
+    s = str(cond)
+    assert s.count("1000000") <= 1 and len(s) < 200
+    df = spark.range(5).selectExpr("id as unit")
+    assert df.where(_units_condition([1, 2, 4])).count() == 3
+    assert df.where(_units_condition([])).count() == 0
+
+
+def test_key_range_decode_unchanged_by_range_predicate(spark, outdir):
+    df = _typed_df(spark, n=400)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    dec = decode_dataset(spark, outdir, key_range=("000100", "000250"))
+    got = sorted(r.k for r in dec.collect())
+    assert got == [f"{i:06d}" for i in range(100, 251)]
+
+
+def test_completed_units_is_sorted_int64_array(spark, outdir):
+    df = _typed_df(spark, n=300)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",), target_unit_bytes=8 << 10
+    )
+    encode_job(spark, df, cfg)
+    done = completed_units(spark, outdir)
+    assert isinstance(done, np.ndarray) and done.dtype == np.int64
+    assert (np.sort(done) == done).all() and done.size > 0
+
+
+# ---------------------------------------------------------------------------
+# codec provenance: lineage carries native (C fast path) per unit
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_carries_native_provenance(spark, outdir):
+    df = _typed_df(spark, n=200)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",), target_unit_bytes=64 << 10
+    )
+    encode_job(spark, df, cfg)
+    lin = spark.read.parquet(os.path.join(outdir, "lineage"))
+    assert "native" in lin.columns
+    vals = {r.native for r in lin.select("native").collect()}
+    # this host has gcc, so the fast path loads in every worker
+    assert vals == {True}
+
+
+def test_encode_stream_records_fallback_provenance(monkeypatch, tmp_path):
+    """With the C kernels disabled (the no-compiler worker), fragments
+    carry native=False — a heterogeneous cluster's mixed paths are
+    attributable from metadata alone."""
+    monkeypatch.setenv("UPES_DISABLE_NATIVE", "1")
+    from universal_parquet_exporter_spark.encode.pipeline import _encode_stream
+    from universal_parquet_exporter_spark.plans.partitioning import EncodePlan
+
+    plan = EncodePlan(key_col="k", boundaries=[], salts=[1])
+    tbl = pa.table({"k": [f"{i:04d}" for i in range(50)], "v": list(range(50))})
+    frags = list(
+        _encode_stream(
+            iter(tbl.to_batches()),
+            plan,
+            np.array([], dtype=np.int64),
+            "k",
+            str(tmp_path / "payload"),
+        )
+    )
+    assert frags and all(x is False for x in frags[0].column("native").to_pylist())

@@ -57,6 +57,7 @@ from .pipeline import (
     _probe_rows,
     _union_probe_schema,
     manifest_dir,
+    next_manifest_name,
     set_manifest_dir,
 )
 
@@ -96,22 +97,31 @@ def compact(
         F.sum("n_rows").alias("rows"),
         F.sum("bytes_out").alias("bytes_out"),
     )
-    sel = per_unit.where(
-        (F.col("n_slices") > 1) & ((F.col("rows") / F.col("n_slices")) < threshold)
-    ).collect()
-    targets = [int(r.unit) for r in sel]
+    frag_cond = (F.col("n_slices") > 1) & ((F.col("rows") / F.col("n_slices")) < threshold)
+    # selection report as ONE aggregation row — the unit ids themselves
+    # never reach the driver (at 100 TB the fragmented set can be
+    # millions of units); targets flow into the rewrite as a DataFrame
+    # through broadcast semi/anti joins below
+    ev = per_unit.agg(
+        F.count("*").alias("units_total"),
+        F.sum(frag_cond.cast("long")).alias("units_compacted"),
+        F.sum(F.when(frag_cond, F.col("n_slices"))).alias("slices_before"),
+        F.sum(F.when(frag_cond, F.col("bytes_out"))).alias("bytes_before"),
+    ).collect()[0]
+    n_targets = int(ev.units_compacted or 0)
     report = {
-        "units_total": int(per_unit.count()),
-        "units_compacted": len(targets),
-        "slices_before": int(sum(r.n_slices for r in sel)),
+        "units_total": int(ev.units_total or 0),
+        "units_compacted": n_targets,
+        "slices_before": int(ev.slices_before or 0),
         "slices_after": 0,
-        "bytes_before": int(sum(r.bytes_out or 0 for r in sel)),
+        "bytes_before": int(ev.bytes_before or 0),
         "bytes_after": 0,
         "manifest_rewritten": False,
         "dry_run": dry_run,
     }
-    if not targets or dry_run:
+    if not n_targets or dry_run:
         return report
+    target_units = per_unit.where(frag_cond).select("unit")
 
     run_id = "compact-" + uuid.uuid4().hex[:12]
     bplan = spark.sparkContext.broadcast(plan.to_json())
@@ -125,7 +135,7 @@ def compact(
     # before and after compaction).  One meta-only probe per distinct
     # name set over the TARGET slices finds that union; a type flip
     # between generations fails loudly here, not mid-rewrite.
-    target_slices_df = committed_rows.where(F.col("unit").isin(targets))
+    target_slices_df = committed_rows.join(F.broadcast(target_units), "unit", "left_semi")
     probes = _probe_rows(target_slices_df.select("codecs", "file", "offset"))
     union_fields = list(
         _union_probe_schema(payload_dir, sorted((r.file, r.offset) for r in probes))
@@ -171,7 +181,7 @@ def compact(
     # a unit's slices must meet in one task (so it re-packs into the
     # fewest chunks); partition the SLICE MANIFEST by unit — the only
     # exchange in the job, and it carries bookkeeping rows, not payload
-    n_part = max(1, min(len(targets), spark.sparkContext.defaultParallelism))
+    n_part = max(1, min(n_targets, spark.sparkContext.defaultParallelism))
     slices = (
         target_slices_df
         .select("file", "offset", "length", "row_off", "n_rows", "unit")
@@ -185,18 +195,21 @@ def compact(
     # COMMITTED rows: non-target units verbatim, and in-flight runs'
     # young uncommitted rows (even of target units) must outlive the
     # rewrite — they commit their lineage later
-    target_col = F.col("unit").isin(targets)
     # anti/semi joins move their key columns first — re-project both
     # legs to the manifest's column order before the positional union
     survivors = (
         manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_anti")
         .select(*manifest.columns)
-        .union(committed_rows.where(~target_col).select(*manifest.columns))
+        .union(
+            committed_rows.join(F.broadcast(target_units), "unit", "left_anti")
+            .select(*manifest.columns)
+        )
     )
 
-    cur = os.path.basename(data_dir.rstrip("/"))
-    ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
-    new_name = f"data_v{ver + 1}"
+    # version allocation scans EXISTING data_v* dirs (next_manifest_name),
+    # never current-pointer+1: a crashed or in-flight DataSource
+    # overwrite's unreferenced dir must not be clobbered or appended into
+    new_name = next_manifest_name(output_dir)
     new_dir = (
         os.path.join(output_dir, new_name)
         if "://" not in output_dir
@@ -209,18 +222,19 @@ def compact(
     # lineage first (the new rows' visibility key), pointer swap last —
     # until the swap, readers resolve the old manifest, which the new
     # lineage rows cannot touch (their rows exist only in the new dir)
+    new_manifest = spark.read.parquet(new_dir)
+    lin_aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum("wall_ms").alias("wall_ms"),
+        F.count("*").alias("n_fragments"),
+        F.first("codecs").alias("codecs"),
+    ]
+    if "native" in new_manifest.columns:
+        lin_aggs.append(F.min("native").alias("native"))
     new_units = (
-        spark.read.parquet(new_dir)
-        .where(F.col("run_id") == run_id)
-        .groupBy("unit")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum("bytes_out").alias("bytes_out"),
-            F.sum("wall_ms").alias("wall_ms"),
-            F.count("*").alias("n_fragments"),
-            F.first("codecs").alias("codecs"),
-        )
+        new_manifest.where(F.col("run_id") == run_id).groupBy("unit").agg(*lin_aggs)
     )
     (
         new_units.withColumn("run_id", F.lit(run_id))
@@ -233,8 +247,7 @@ def compact(
     set_manifest_dir(output_dir, new_name)
 
     after = (
-        spark.read.parquet(new_dir)
-        .where(F.col("run_id") == run_id)
+        new_manifest.where(F.col("run_id") == run_id)
         .agg(F.count("*").alias("n"), F.sum("bytes_out").alias("b"))
         .collect()[0]
     )
@@ -280,4 +293,66 @@ def q_compact_roundtrip(spark, sf_dir: str):
     dec = decode_dataset(spark, out)
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+
+
+def q_compact_filtered(spark, sf_dir: str):
+    """Driver-contract query: zone-map pruning STILL WORKS after a
+    compaction rewrite — fragments carry stats, the rewrite re-encodes
+    target units into fresh chunks with freshly computed stats
+    (:func:`~.pipeline._chunk_stats` runs inside ``_encode_stream``
+    unconditionally), and a filtered decode over the rewritten manifest
+    must still skip chunks.  The query raises unless (a) compaction
+    merged fragments and (b) the post-compact manifest's bounds actually
+    disqualify chunks for the predicate — so a green row certifies stats
+    survival through the rewrite, not just row identity."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import EncodeJobConfig, decode_dataset, encode_job, manifest_dir
+
+    out = tempfile.mkdtemp(prefix="upes_cmpf_")
+    # zero-padded key: lexicographic unit order == numeric id order, so
+    # post-compact chunks carry NARROW key bounds a bound can disqualify.
+    # small units (64 KiB) → many units; three random-third appends give
+    # each unit ~3 under-filled slices (a unit's wave flushes as one
+    # chunk, so fragmentation here is slices-per-unit, not chunk splits)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    )
+    for i in range(3):
+        part = df.where(F.crc32(F.col("doc_id")) % 3 == i)
+        cfg = EncodeJobConfig(
+            output_dir=out,
+            key_col="doc_id",
+            size_cols=("text",),
+            target_unit_bytes=16 << 10,
+            chunk_rows=64,
+            skip_completed=False,
+            batch_tag=f"append_{i}",
+        )
+        encode_job(spark, part, cfg)
+    rep = compact(spark, out, chunk_rows=64, min_avg_slice_rows=64)
+    if not rep["units_compacted"] or rep["slices_after"] >= rep["slices_before"]:
+        raise RuntimeError(f"compaction merged nothing: {rep}")
+
+    # pruning evidence on the REWRITTEN manifest, as one aggregation row
+    bound = "00000300"
+    mx = F.get_json_object(F.col("stats"), "$.doc_id[1]")
+    ev = (
+        spark.read.parquet(manifest_dir(out))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((mx.isNull() | (mx >= bound)).cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"post-compact zone maps pruned nothing ({ev.qualifying}/{ev.total} qualify)"
+        )
+    dec = decode_dataset(spark, out, filters=[("doc_id", ">=", bound)])
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "n_chars"
     )

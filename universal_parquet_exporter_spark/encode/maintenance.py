@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 import time
 
-from .pipeline import _payload_fs, manifest_dir, set_manifest_dir
+from .pipeline import _payload_fs, manifest_dir, next_manifest_name, set_manifest_dir
 
 
 def _list_payload_files(payload_dir: str) -> list[tuple[str, int, float]]:
@@ -334,9 +334,9 @@ def vacuum(
         # manifest to data_v<N+1>, then flip manifest_current.  The old
         # dir stays on disk (readers that already resolved it finish
         # unharmed) and is deleted by a later horizoned vacuum.
-        cur = os.path.basename(data_dir.rstrip("/"))
-        ver = int(cur.rsplit("_v", 1)[1]) if "_v" in cur else 0
-        new_name = f"data_v{ver + 1}"
+        # allocate above every EXISTING data_v* dir (not pointer+1) so a
+        # crashed/in-flight overwrite's unreferenced dir is never reused
+        new_name = next_manifest_name(output_dir)
         new_dir = (
             os.path.join(output_dir, new_name)
             if "://" not in output_dir

@@ -66,22 +66,60 @@ from .container import deserialize_chunk, serialize_chunk
 FRAG_SCHEMA = (
     "unit long, first_key string, n_rows long, row_off long, bytes_in long, "
     "bytes_out long, wall_ms double, codecs string, file string, offset long, length long, "
-    "stats string"
+    "stats string, native boolean"
 )
 
 _STATS_STR_MAX = 64  # string bound length cap (see _chunk_stats)
 
+_TS_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}  # ns divides
+
+
+def _ts_scalar_us(scalar, unit: str) -> int | None:
+    """Arrow timestamp scalar → exact epoch-µs int (no float round-trip);
+    None for null."""
+    import pyarrow.compute as pc
+
+    raw = pc.cast(scalar, pa.int64()).as_py()
+    if raw is None:
+        return None
+    mult = _TS_UNIT_TO_US[unit]
+    return raw // 1000 if mult is None else raw * mult
+
+
+def ts_value_us(v) -> int:
+    """Python datetime → exact epoch-µs int.  Naive datetimes are read as
+    UTC wall-clock — the same convention Arrow uses to store tz-naive
+    timestamp columns, so filter bounds and recorded stats agree."""
+    from datetime import datetime, timedelta, timezone
+
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=timezone.utc)
+    return (v - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(microseconds=1)
+
+
+def date_value_days(v) -> int:
+    """Python date → days since epoch (the date32 storage integer)."""
+    from datetime import date
+
+    return (v - date(1970, 1, 1)).days
+
 
 def _chunk_stats(tbl: pa.Table) -> str:
     """Per-chunk zone map: JSON ``{col: [min, max]}`` over int/float/
-    string columns — the engine's analog of parquet row-group statistics,
-    consumed by :func:`decode_dataset`'s ``filters`` pruning.  A ``null``
-    bound means unbounded on that side (never wrongly prunes):
+    string/timestamp/date/decimal columns — the engine's analog of
+    parquet row-group statistics, consumed by :func:`decode_dataset`'s
+    ``filters`` pruning.  A ``null`` bound means unbounded on that side
+    (never wrongly prunes):
     - long string minima are TRUNCATED (a prefix is still a valid lower
       bound); long string maxima are dropped (truncating a max would
       understate it and prune chunks that match — the parquet pitfall);
     - float columns containing NaN record no bounds (NaN breaks total
       order);
+    - timestamps record exact epoch-µs ints, dates epoch-days ints,
+      decimals exact decimal STRINGS (an unscaled int can overflow int64
+      at precision 38; the pruning side re-types them from the probed
+      schema) — so ``warc_ts``-style time-range scans prune, the
+      canonical Common-Crawl filter column (SURVEY §1.2);
     - all-null columns record no bounds."""
     import math
 
@@ -91,7 +129,13 @@ def _chunk_stats(tbl: pa.Table) -> str:
     for field in tbl.schema:
         t = field.type
         is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
-        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or is_str):
+        is_ts = pa.types.is_timestamp(t)
+        is_date = pa.types.is_date(t)
+        is_dec = pa.types.is_decimal(t)
+        if not (
+            pa.types.is_integer(t) or pa.types.is_floating(t) or is_str
+            or is_ts or is_date or is_dec
+        ):
             continue
         col = tbl.column(field.name)
         if col.null_count == len(col):
@@ -106,7 +150,19 @@ def _chunk_stats(tbl: pa.Table) -> str:
             if avg_len > _STATS_STR_MAX:
                 continue
         mm = pc.min_max(col)
-        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if is_ts:
+            mn = _ts_scalar_us(mm["min"], t.unit)
+            mx = _ts_scalar_us(mm["max"], t.unit)
+        elif is_date:
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            mn = None if mn is None else date_value_days(mn)
+            mx = None if mx is None else date_value_days(mx)
+        elif is_dec:
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            mn = None if mn is None else str(mn)
+            mx = None if mx is None else str(mx)
+        else:
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
         if mn is None or mx is None:
             continue
         if pa.types.is_floating(t) and (math.isnan(mn) or math.isnan(mx)):
@@ -357,6 +413,35 @@ def set_manifest_dir(output_dir: str, name: str) -> None:
         fs.move(tmp, f"{root}/{_MANIFEST_PTR}")
 
 
+def next_manifest_name(output_dir: str) -> str:
+    """Fresh ``data_v<N>`` name above EVERY existing version dir — not
+    current-pointer+1: a crashed or still-in-flight overwrite's
+    unreferenced ``data_v<N>`` must never be reused (clobbering it would
+    mix two writers' manifests).  Shared by the DataSource overwrite
+    sink, compaction, and vacuum's manifest rewrite so concurrent
+    version allocation is consistent."""
+    fs, root = _payload_fs(output_dir)
+    names: list[str] = []
+    if fs is None:
+        if os.path.isdir(root):
+            names = os.listdir(root)
+    else:
+        from pyarrow.fs import FileSelector
+
+        try:
+            names = [i.base_name for i in fs.get_file_info(FileSelector(root))]
+        except (FileNotFoundError, OSError):
+            names = []
+    top = 0
+    for n in names:
+        if n.startswith("data_v"):
+            try:
+                top = max(top, int(n[len("data_v"):]))
+            except ValueError:
+                pass
+    return f"data_v{top + 1}"
+
+
 def _dir_exists(path: str) -> bool:
     fs, p = _payload_fs(path)
     if fs is None:
@@ -505,13 +590,24 @@ def load_or_build_plan_parquet(
     return plan
 
 
-def completed_units(spark, output_dir: str) -> set[int]:
-    """Units whose lineage rows say 'ok' — skipped on resume."""
+def completed_units(spark, output_dir: str) -> np.ndarray:
+    """Units whose lineage rows say 'ok' — skipped on resume.  Returned
+    as a SORTED int64 numpy array fetched over Arrow (``toArrow``): no
+    per-row Python objects on the driver, ~8 B/unit resident (13 MB for
+    the 1.6 M units of a 100 TB / 64 MB dataset), broadcast as-is to the
+    encode tasks for the sorted-searchsorted membership test
+    (:func:`_resume_keep_mask`)."""
     lineage_dir = os.path.join(output_dir, "lineage")
     if not _dir_exists(lineage_dir):
-        return set()
-    rows = spark.read.parquet(lineage_dir).where("status = 'ok'").select("unit").collect()
-    return {r.unit for r in rows}
+        return np.array([], dtype=np.int64)
+    tbl = (
+        spark.read.parquet(lineage_dir)
+        .where("status = 'ok'")
+        .select("unit")
+        .distinct()
+        .toArrow()
+    )
+    return np.sort(tbl.column("unit").to_numpy(zero_copy_only=False).astype(np.int64))
 
 
 def completed_batch_tags(spark, output_dir: str) -> set[str]:
@@ -637,17 +733,24 @@ def _encode_stream(
     ``stats`` (tests) receives ``peak_buffer_bytes`` and ``flush_waves``."""
     from ..plans.partitioning import _fixed_width
 
+    from ..codecs._native import get_native
+
     buf: dict[int, list] = {}
     buf_bytes = 0
     peak_bytes = 0
     waves = 0
     fsst_tables: dict | None = None
     writer = _TaskPayloadWriter(payload_dir)
+    # codec provenance: True when this worker process compiled/loaded the
+    # C fast path, False on the pure-NumPy fallback (no compiler on the
+    # host).  Recorded per fragment → aggregated into lineage, so a perf
+    # delta on a heterogeneous cluster is attributable from metadata.
+    native_flag = get_native() is not None
     rows: dict[str, list] = {
         k: []
         for k in (
             "unit", "first_key", "n_rows", "row_off", "bytes_in", "bytes_out",
-            "wall_ms", "codecs", "file", "offset", "length", "stats",
+            "wall_ms", "codecs", "file", "offset", "length", "stats", "native",
         )
     }
 
@@ -726,6 +829,7 @@ def _encode_stream(
                 rows["offset"].append(off)
                 rows["length"].append(length)
                 rows["stats"].append(stats_json)
+                rows["native"].append(native_flag)
                 row_off += n_u
             pending = []
             pending_rows = 0
@@ -795,10 +899,14 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     DataFrame path pays a JVM->Python Arrow transfer of every raw row,
     which measurably anti-scales on fault-expensive kernels."""
     plan = load_or_build_plan(df, cfg)
-    done = completed_units(spark, cfg.output_dir) if cfg.skip_completed else set()
+    done = (
+        completed_units(spark, cfg.output_dir)
+        if cfg.skip_completed
+        else np.array([], dtype=np.int64)
+    )
 
     bplan = spark.sparkContext.broadcast(plan.to_json())
-    bdone = spark.sparkContext.broadcast(sorted(done))
+    bdone = spark.sparkContext.broadcast(done)
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
     chunk_rows = cfg.chunk_rows
@@ -806,7 +914,7 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
 
     def map_encode(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
-        done_local = np.array(bdone.value, dtype=np.int64)
+        done_local = bdone.value
         yield from _encode_stream(
             iterator, plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
         )
@@ -838,10 +946,14 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     if not items:
         raise ValueError(f"no parquet input in {input_dir}")
     plan = load_or_build_plan_parquet(spark, items, total_rows, cfg)
-    done = completed_units(spark, cfg.output_dir) if cfg.skip_completed else set()
+    done = (
+        completed_units(spark, cfg.output_dir)
+        if cfg.skip_completed
+        else np.array([], dtype=np.int64)
+    )
 
     bplan = spark.sparkContext.broadcast(plan.to_json())
-    bdone = spark.sparkContext.broadcast(sorted(done))
+    bdone = spark.sparkContext.broadcast(done)
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
     chunk_rows = cfg.chunk_rows
@@ -869,7 +981,7 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
 
     def map_encode_files(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
-        done_local = np.array(bdone.value, dtype=np.int64)
+        done_local = bdone.value
 
         def slice_items():
             if bitems is None:  # rdd mode: items arrive as input rows
@@ -914,7 +1026,7 @@ def encode_parquet_job(spark, input_dir: str, cfg: EncodeJobConfig, batch_rows: 
     return _finish_encode(spark, frags, plan, done, cfg)
 
 
-def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJobConfig) -> dict:
+def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: EncodeJobConfig) -> dict:
     """Shared tail of the encode job: append MANIFEST rows (tagged with
     this run's id) — a NARROW stage, and the encoded bytes themselves were
     already written to payload files by the map tasks, so the JVM never
@@ -933,20 +1045,23 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     )
     stage_wall = time.perf_counter() - t_stage
 
-    # per-unit lineage from the COMMITTED manifest, this run's rows only
+    # per-unit lineage from the COMMITTED manifest, this run's rows only;
+    # `native` (codec provenance — C fast path vs NumPy fallback per
+    # worker) aggregates as min(): False if ANY fragment fell back, so a
+    # heterogeneous cluster's mixed-path units are attributable.  Guarded:
+    # manifest dirs predating the column read back without it.
     sink = spark.read.parquet(data_dir).drop("first_key")
-    new_units = (
-        sink.where(F.col("run_id") == cfg.run_id)
-        .groupBy("unit")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum("bytes_out").alias("bytes_out"),
-            F.sum("wall_ms").alias("wall_ms"),
-            F.count("*").alias("n_fragments"),
-            F.first("codecs").alias("codecs"),
-        )
-    )
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum("wall_ms").alias("wall_ms"),
+        F.count("*").alias("n_fragments"),
+        F.first("codecs").alias("codecs"),
+    ]
+    if "native" in sink.columns:
+        aggs.append(F.min("native").alias("native"))
+    new_units = sink.where(F.col("run_id") == cfg.run_id).groupBy("unit").agg(*aggs)
     lineage = (
         new_units.withColumn("run_id", F.lit(cfg.run_id))
         .withColumn("status", F.lit("ok"))
@@ -969,7 +1084,7 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
     return {
         "run_id": cfg.run_id,
         "plan_units": n_units,
-        "resumed_units": len(done),
+        "resumed_units": int(done.size),
         "encoded_units": int(agg.units),
         "rows": int(agg.rows or 0),
         "bytes_in": int(agg.bytes_in or 0),
@@ -982,6 +1097,39 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: set[int], cfg: EncodeJo
 
 
 _FILTER_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+
+def unit_id_ranges(units) -> list[tuple[int, int]]:
+    """Collapse a unit-id list into inclusive contiguous ``(lo, hi)``
+    ranges.  :func:`..plans.partitioning.units_for_key_range` returns a
+    contiguous id span by construction (units are ordered by key range),
+    so this is almost always ONE range — the point is that the pruning
+    predicate stays O(ranges) literals, not O(units): at 10^12 docs /
+    64 MB units an ``isin`` over ~10^6 ids would be a multi-megabyte
+    expression tree Catalyst re-evaluates per manifest row."""
+    ranges: list[list[int]] = []
+    for u in sorted(set(int(x) for x in units)):
+        if ranges and u == ranges[-1][1] + 1:
+            ranges[-1][1] = u
+        else:
+            ranges.append([u, u])
+    return [(a, b) for a, b in ranges]
+
+
+def _units_condition(units):
+    """Manifest-row predicate for a unit-id set, as OR-of-BETWEEN over
+    the collapsed contiguous ranges (false literal for an empty set)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ranges = unit_id_ranges(units)
+    if not ranges:
+        return F.lit(False)
+    return reduce(
+        lambda a, b: a | b,
+        [F.col("unit").between(lo, hi) for lo, hi in ranges],
+    )
 
 
 def _union_probe_schema(payload_dir: str, probes: list[tuple[str, int]]) -> pa.Schema:
@@ -1148,7 +1296,7 @@ def decode_dataset(
                 f"key_range pruning needs the key column '{key_col}' in columns"
             )
         units = units_for_key_range(plan, key_range[0], key_range[1])
-        enc = enc.where(F.col("unit").isin(units))
+        enc = enc.where(_units_condition(units))
 
     # one meta-only probe per distinct column-name set (derived from the
     # manifest's own codecs maps — no payload read), unioned by name:
@@ -1185,6 +1333,22 @@ def decode_dataset(
                     cast_to = "long"
                 elif pa.types.is_floating(ftype):
                     cast_to = "double"
+                elif pa.types.is_timestamp(ftype):
+                    # stats store exact epoch-µs ints; the bound value
+                    # (a datetime) converts with the same convention
+                    cast_to = "long"
+                    v = ts_value_us(v)
+                elif pa.types.is_date(ftype):
+                    cast_to = "long"
+                    v = date_value_days(v)
+                elif pa.types.is_decimal(ftype):
+                    # stats store exact decimal strings (unscaled ints
+                    # can overflow int64 at precision 38); re-type both
+                    # sides to the column's own decimal type
+                    from decimal import Decimal
+
+                    cast_to = f"decimal({ftype.precision},{ftype.scale})"
+                    v = Decimal(str(v))
                 else:
                     cast_to = None  # strings compare lexicographically
                 mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
@@ -1457,7 +1621,6 @@ def q_decode_filters(spark, sf_dir: str):
     stats actually pruned manifest rows, so a green row certifies the
     pruning path ran, not just the residual.  Oracle: the equivalent
     VARCHAR + integer predicates."""
-    import json as _json
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1474,18 +1637,76 @@ def q_decode_filters(spark, sf_dir: str):
         "doc_id", F.col("doc_id").cast("string")
     )
     encode_job(spark, df, cfg)
-    manifest = spark.read.parquet(os.path.join(out, "data")).select("stats").collect()
-    qualifying = sum(1 for r in manifest if (_json.loads(r.stats).get("doc_id") or [None, None])[1] is None
-                     or _json.loads(r.stats)["doc_id"][1] >= "5")
-    if len(manifest) > 1 and qualifying >= len(manifest):
+    # pruning evidence as ONE aggregation row — never a full-manifest
+    # collect (a null max bound qualifies: unbounded never prunes)
+    mx = F.get_json_object(F.col("stats"), "$.doc_id[1]")
+    ev = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((mx.isNull() | (mx >= "5")).cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
         raise RuntimeError(
-            f"zone maps pruned nothing ({qualifying}/{len(manifest)} chunks qualify)"
+            f"zone maps pruned nothing ({ev.qualifying}/{ev.total} chunks qualify)"
         )
     dec = decode_dataset(
         spark, out, filters=[("doc_id", ">=", "5"), ("n_chars", ">=", 200)]
     )
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_filters_ts(spark, sf_dir: str):
+    """Driver-contract query: TIMESTAMP zone-map pruning — the canonical
+    Common-Crawl range filter (``warc_ts``-shaped; SURVEY §1.2, and the
+    reference's only range diagnostic is ``MIN/MAX(order_date)``,
+    /root/reference/examples/advanced_integration_example.py:168-169).
+    The events table is keyed by zero-padded event_id (corr ≈ 1 with
+    ``ts``), so chunks carry narrow epoch-µs ts bounds; the query raises
+    unless the bounds actually disqualify chunks, certifying the
+    timestamp pruning path ran — not just the exact residual.  Oracle:
+    the same half-month window as plain SQL."""
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_zts_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("event_key", F.lpad(F.col("event_id").cast("string"), 10, "0"))
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="event_key", size_cols=("props",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    lo = datetime(2024, 1, 8)
+    hi = datetime(2024, 1, 15)
+    # pruning evidence as ONE aggregation row (no manifest collect):
+    # a chunk survives iff its recorded [min,max] epoch-µs window can
+    # intersect [lo, hi]; null bounds keep (unbounded never prunes)
+    mn = F.get_json_object(F.col("stats"), "$.ts[0]").cast("long")
+    mx = F.get_json_object(F.col("stats"), "$.ts[1]").cast("long")
+    qual = (mx.isNull() | (mx >= ts_value_us(lo))) & (mn.isNull() | (mn <= ts_value_us(hi)))
+    ev = (
+        spark.read.parquet(manifest_dir(out))
+        .agg(F.count("*").alias("total"), F.sum(qual.cast("long")).alias("qualifying"))
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"timestamp zone maps pruned nothing ({ev.qualifying}/{ev.total} chunks qualify)"
+        )
+    dec = decode_dataset(spark, out, filters=[("ts", ">=", lo), ("ts", "<=", hi)])
+    # µs epoch ints: identical across engines regardless of how each
+    # stringifies timestamps (same convention as events_agg)
+    return dec.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "value"
     )
 
 

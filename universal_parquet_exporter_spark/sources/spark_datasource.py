@@ -99,8 +99,11 @@ from ..encode.pipeline import (
     _pad_table,
     _payload_fs,
     _union_probe_schema,
+    date_value_days,
     manifest_dir,
+    next_manifest_name as _next_manifest_name,
     set_manifest_dir,
+    ts_value_us,
 )
 from ..plans.partitioning import EncodePlan, units_for_key_range
 
@@ -137,19 +140,53 @@ def _read_meta_table(path: str, columns: list[str]) -> pa.Table | None:
     return dset.to_table(columns=names)
 
 
+def _meta_state_token(output_dir: str) -> tuple | None:
+    """Cheap freshness token for the planning-side manifest cache: the
+    (mtime_ns, size-ish) of the manifest dir, lineage dir, and version
+    pointer.  Any committed write touches at least one of them (new
+    parquet file → directory mtime on POSIX; pointer swap → file mtime).
+    Remote (non-POSIX) paths return None — never cached."""
+    if "://" in output_dir:
+        return None
+    parts = []
+    for p in (
+        manifest_dir(output_dir),
+        os.path.join(output_dir, "lineage"),
+        os.path.join(output_dir, "manifest_current"),
+    ):
+        try:
+            st = os.stat(p)
+            parts.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            parts.append((p, None, None))
+    return tuple(parts)
+
+
+_MANIFEST_CACHE: dict[str, tuple[tuple, pa.Table]] = {}
+
+
 def _committed_manifest(output_dir: str) -> pa.Table:
     """Committed manifest rows (the lineage ``status='ok'`` semi-join on
     ``(unit, run_id)``) — the planning-side twin of
     :func:`..encode.pipeline.decode_dataset`'s ``enc`` DataFrame.  At
-    nominal scale this is manifest METADATA (fragment rows, not data):
-    the same order of driver-side state Spark's own file index keeps."""
+    nominal scale this is manifest METADATA (fragment rows, not data),
+    but it is ~10^7 rows at 100 TB, so the join runs entirely in Arrow
+    (hash semi-join in C++, zero per-row Python objects) and the result
+    is cached per (path, dir-mtime token): ``schema()``, ``partitions()``
+    and the append-schema guard share one load per plan instead of
+    re-reading per call."""
+    token = _meta_state_token(output_dir)
+    if token is not None:
+        hit = _MANIFEST_CACHE.get(output_dir)
+        if hit is not None and hit[0] == token:
+            return hit[1]
     man = _read_meta_table(
         manifest_dir(output_dir),
         ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "stats", "codecs"],
     )
     lin = _read_meta_table(os.path.join(output_dir, "lineage"), ["unit", "run_id", "status"])
     if man is None or lin is None or man.num_rows == 0:
-        return pa.table(
+        out = pa.table(
             {
                 "unit": pa.array([], pa.int64()),
                 "run_id": pa.array([], pa.string()),
@@ -161,15 +198,23 @@ def _committed_manifest(output_dir: str) -> pa.Table:
                 "stats": pa.array([], pa.string()),
             }
         )
-    ok = set()
-    st = lin.column("status").to_pylist()
-    for u, r, s in zip(lin.column("unit").to_pylist(), lin.column("run_id").to_pylist(), st):
-        if s == "ok":
-            ok.add((u, r))
-    units = man.column("unit").to_pylist()
-    runs = man.column("run_id").to_pylist()
-    keep = [i for i, (u, r) in enumerate(zip(units, runs)) if (u, r) in ok]
-    return man.take(pa.array(keep, pa.int64()))
+    else:
+        import pyarrow.compute as pc
+
+        ok = (
+            lin.filter(pc.equal(lin.column("status"), "ok"))
+            .select(["unit", "run_id"])
+            .group_by(["unit", "run_id"])
+            .aggregate([])  # distinct — join keys must be unique
+        )
+        out = man.join(ok, keys=["unit", "run_id"], join_type="left semi")
+    if token is not None:
+        # re-validate: a write racing this load invalidates via mtime
+        if _meta_state_token(output_dir) == token:
+            _MANIFEST_CACHE[output_dir] = (token, out)
+            if len(_MANIFEST_CACHE) > 64:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    return out
 
 
 def _probe_chunk_schema(output_dir: str, man: pa.Table) -> pa.Schema:
@@ -248,11 +293,56 @@ def _key_range_from_terms(terms, key_col: str) -> tuple[str | None, str | None]:
     return lo, hi
 
 
+def _normalize_terms(terms, schema: pa.Schema):
+    """Convert term values to the zone-map domain ONCE per scan (not per
+    chunk): timestamps → epoch-µs ints, dates → epoch-days ints,
+    decimals → ``Decimal`` (their bounds are stored as exact strings and
+    re-typed in :func:`_chunk_keep`).  Terms whose column is absent from
+    the schema or whose value can't convert are dropped from PRUNING
+    (Spark still applies them as the residual — conservative)."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    out = []
+    for col, op, v in terms:
+        if col not in schema.names:
+            continue
+        t = schema.field(col).type
+        try:
+            if pa.types.is_timestamp(t):
+                if op in ("in",):
+                    v = tuple(ts_value_us(x) for x in v)
+                elif isinstance(v, datetime):
+                    v = ts_value_us(v)
+                else:
+                    continue
+            elif pa.types.is_date(t):
+                if op in ("in",):
+                    v = tuple(date_value_days(x) for x in v)
+                elif isinstance(v, date):
+                    v = date_value_days(v)
+                else:
+                    continue
+            elif pa.types.is_decimal(t):
+                if op in ("in",):
+                    v = tuple(Decimal(str(x)) for x in v)
+                else:
+                    v = Decimal(str(v))
+        except (TypeError, ValueError, ArithmeticError):
+            continue
+        out.append((col, op, v))
+    return out
+
+
 def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
     """Zone-map verdict for ONE chunk: False only when the recorded
     bounds PROVE a term can't match (missing/partial bounds keep — the
     same conservative algebra as ``decode_dataset``'s SQL form, from
-    which the driver's value-hash gate certifies the semantics)."""
+    which the driver's value-hash gate certifies the semantics).  Terms
+    must be pre-normalized (:func:`_normalize_terms`); decimal bounds
+    are stored as exact strings and re-typed here."""
+    from decimal import Decimal
+
     if not stats_json:
         return True
     try:
@@ -264,6 +354,12 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
         if not bounds:
             continue
         mn, mx = bounds
+        if schema is not None and col in schema.names and pa.types.is_decimal(schema.field(col).type):
+            try:
+                mn = None if mn is None else Decimal(str(mn))
+                mx = None if mx is None else Decimal(str(mx))
+            except ArithmeticError:
+                continue
         try:
             if op in (">", ">="):
                 if mx is not None and not (mx > v if op == ">" else mx >= v):
@@ -375,9 +471,10 @@ class _EncodedReader(DataSourceReader):
             chunk_len[k] = lengths[i]
             chunk_stats[k] = stats[i]
 
+        norm_terms = _normalize_terms(self._terms, probe_schema) if self._terms else []
         ordered = []
         for k in sorted(chunks):
-            if self._terms and not _chunk_keep(chunk_stats[k], self._terms, probe_schema):
+            if norm_terms and not _chunk_keep(chunk_stats[k], norm_terms, probe_schema):
                 continue
             ordered.append((k[0], k[1], chunk_len[k], sorted(chunks[k])))
 
@@ -446,6 +543,7 @@ _MANIFEST_PA_SCHEMA = pa.schema(
         ("offset", pa.int64()),
         ("length", pa.int64()),
         ("stats", pa.string()),
+        ("native", pa.bool_()),
         ("run_id", pa.string()),
     ]
 )
@@ -463,6 +561,7 @@ _LINEAGE_PA_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("batch_tag", pa.string()),
         ("committed_at", pa.timestamp("us", "UTC")),
+        ("native", pa.bool_()),
     ]
 )
 
@@ -517,33 +616,6 @@ def _check_append_schema(output_dir: str, schema) -> None:
             )
 
 
-def _next_manifest_name(output_dir: str) -> str:
-    """Fresh ``data_v<N>`` name above every existing version (a crashed
-    overwrite's unreferenced dir must not be reused)."""
-    fs, root = _payload_fs(output_dir)
-    names: list[str] = []
-    if fs is None:
-        if os.path.isdir(root):
-            names = os.listdir(root)
-    else:
-        from pyarrow.fs import FileSelector
-
-        try:
-            names = [i.base_name for i in fs.get_file_info(FileSelector(root))]
-        except (FileNotFoundError, OSError):
-            names = []
-    top = 0
-    for n in names:
-        if n == "data":
-            top = max(top, 0)
-        elif n.startswith("data_v"):
-            try:
-                top = max(top, int(n[len("data_v"):]))
-            except ValueError:
-                pass
-    return f"data_v{top + 1}"
-
-
 class _EncodedWriterBase:
     """Shared executor-side encode + driver-side commit bookkeeping."""
 
@@ -572,7 +644,6 @@ class _EncodedWriterBase:
             raise ValueError(
                 f"dataset plan partitions on {plan.key_col!r}, not {self.key_col!r}"
             )
-        _check_append_schema(self.path, schema)
         self.chunk_rows = int(options.get("chunk_rows", 32768))
         self.max_buffer_bytes = int(options.get("max_buffer_bytes", 256 << 20))
         self.run_id = uuid.uuid4().hex[:12]
@@ -617,13 +688,17 @@ class _EncodedWriterBase:
             u = per_unit.setdefault(
                 r["unit"],
                 {"unit": r["unit"], "n_rows": 0, "bytes_in": 0, "bytes_out": 0,
-                 "wall_ms": 0.0, "n_fragments": 0, "codecs": r["codecs"]},
+                 "wall_ms": 0.0, "n_fragments": 0, "codecs": r["codecs"],
+                 "native": True},
             )
             u["n_rows"] += r["n_rows"]
             u["bytes_in"] += r["bytes_in"]
             u["bytes_out"] += r["bytes_out"]
             u["wall_ms"] += r["wall_ms"]
             u["n_fragments"] += 1
+            # provenance: min() semantics — False if ANY fragment of the
+            # unit came off the pure-NumPy fallback path
+            u["native"] = u["native"] and bool(r.get("native", False))
         now = datetime.now(timezone.utc)
         lin_rows = [
             {**u, "run_id": run_id, "status": "ok", "batch_tag": batch_tag, "committed_at": now}
@@ -654,6 +729,12 @@ class _EncodedBatchWriter(_EncodedWriterBase, DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         super().__init__(options, schema)
         self.overwrite = overwrite
+        # the additive-evolution type guard protects the UNION probe of
+        # data that will still be visible after this write — which an
+        # overwrite supersedes entirely, so only append checks it (a
+        # type-changing overwrite is a legitimate full replacement)
+        if not overwrite:
+            _check_append_schema(self.path, schema)
         # target manifest dir is fixed at PLANNING time; the pointer swap
         # in commit() is what publishes it
         self.data_dir = (
@@ -677,12 +758,36 @@ class _EncodedBatchWriter(_EncodedWriterBase, DataSourceArrowWriter):
 
 class _EncodedStreamWriter(_EncodedWriterBase, DataSourceStreamArrowWriter):
     """Micro-batch sink with replay-proof commits: the lineage tag
-    ``ds_epoch_<batchId>`` plus a batch-unique run id give exactly-once
-    at batch granularity (the native twin of
-    :func:`...streaming.jobs.streaming_encode_ingest`)."""
+    ``ds_epoch_<query_token>_<batchId>`` plus a batch-unique run id give
+    exactly-once at batch granularity (the native twin of
+    :func:`...streaming.jobs.streaming_encode_ingest`).
+
+    The tag is SCOPED by a token derived from the query's checkpoint
+    location: restarts from the same checkpoint share the token (and
+    Spark keeps their batchIds monotonic), while a NEW query (fresh
+    checkpoint) writing to a dataset that already received epochs gets a
+    fresh token — its batchId 0 can never collide with an earlier
+    query's committed epoch 0 and be misread as a replay (which would
+    silently drop its payload)."""
+
+    def __init__(self, options, schema):
+        super().__init__(options, schema)
+        # streaming epochs are appends — the additive-evolution guard
+        # always applies here
+        _check_append_schema(self.path, schema)
+        ck = options.get("checkpointLocation")
+        if ck:
+            import hashlib
+
+            norm = ck if "://" in ck else os.path.abspath(ck)
+            self._query_token = hashlib.sha1(norm.encode()).hexdigest()[:12]
+        else:
+            # no checkpoint → Spark cannot replay an epoch; a per-writer
+            # token keeps the tags unique without replay semantics
+            self._query_token = self.run_id
 
     def _tag(self, batch_id: int) -> str:
-        return f"ds_epoch_{batch_id}"
+        return f"ds_epoch_{self._query_token}_{batch_id}"
 
     def _committed_tags(self) -> set[str]:
         lin = _read_meta_table(os.path.join(self.path, "lineage"), ["batch_tag", "status"])
