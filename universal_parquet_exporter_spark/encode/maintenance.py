@@ -307,22 +307,24 @@ def vacuum(
 
     # payload liveness: referenced by a committed row OR by any
     # uncommitted-but-young row (an in-flight run's files) — plus the
-    # payload file's own mtime horizon, belt and braces
+    # payload file's own mtime horizon, belt and braces.  The driver
+    # collects only the DEAD list (what it must delete anyway, bounded
+    # by actual garbage) via an anti-join against the live references —
+    # never the full live-file set, which at 100 TB is ~10^6 names of
+    # healthy data the sweep doesn't touch
     committed_rows = manifest.join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
-    keep_files = {
-        r.file
-        for r in committed_rows.select("file")
-        .union(young_uncommitted.select("file"))
-        .distinct()
-        .collect()
-    }
-
+    keep_refs = (
+        committed_rows.select("file").union(young_uncommitted.select("file")).distinct()
+    )
     listed = _list_payload_files(payload_dir)
-    dead = [
-        (name, size)
-        for name, size, mtime in listed
-        if name not in keep_files and (now - mtime) >= older_than_sec
-    ]
+    aged = [(name, int(size)) for name, size, mtime in listed if (now - mtime) >= older_than_sec]
+    dead: list[tuple[str, int]] = []
+    if aged:
+        aged_df = spark.createDataFrame(aged, "file string, size long")
+        dead = [
+            (r.file, r.size)
+            for r in aged_df.join(keep_refs, "file", "left_anti").collect()
+        ]
     reclaimed = sum(s for _, s in dead)
     if dead and not dry_run:
         _delete_files(payload_dir, [n for n, _ in dead], spark)
@@ -380,7 +382,7 @@ def vacuum(
 
     return {
         "payload_files": len(listed),
-        "live_files": len(keep_files),
+        "live_files": int(keep_refs.count()),
         "deleted_files": len(dead),
         "reclaimed_bytes": int(reclaimed),
         "orphan_manifest_rows": orphan_rows,
