@@ -430,7 +430,7 @@ class _EncodedReader(DataSourceReader):
             else list(probe_schema)
         )
 
-        units = np.asarray(man.column("unit").to_pylist(), dtype=np.int64)
+        units = man.column("unit").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = np.ones(man.num_rows, dtype=bool)
         if self._terms:
             plan = _load_plan(self.path)
@@ -451,32 +451,46 @@ class _EncodedReader(DataSourceReader):
                             pts.update(units_for_key_range(plan, x, x))
                         keep &= np.isin(units, np.asarray(sorted(pts), dtype=np.int64))
 
-        files = man.column("file").to_pylist()
-        offsets = man.column("offset").to_pylist()
-        lengths = man.column("length").to_pylist()
-        row_offs = man.column("row_off").to_pylist()
-        n_rows = man.column("n_rows").to_pylist()
-        stats = man.column("stats").to_pylist() if "stats" in man.schema.names else [None] * man.num_rows
-
-        # group manifest rows (unit-slices) by their chunk; zone-map test
-        # runs once per CHUNK (slices of a chunk share its stats)
-        chunks: dict[tuple[str, int], list] = {}
-        chunk_len: dict[tuple[str, int], int] = {}
-        chunk_stats: dict[tuple[str, int], str | None] = {}
-        for i in range(man.num_rows):
-            if not keep[i]:
-                continue
-            k = (files[i], offsets[i])
-            chunks.setdefault(k, []).append((row_offs[i], n_rows[i]))
-            chunk_len[k] = lengths[i]
-            chunk_stats[k] = stats[i]
+        # group manifest rows (unit-slices) by their chunk, VECTORIZED:
+        # unit-prune filter + (file, offset, row_off) sort run in Arrow
+        # C++, chunk boundaries come from one numpy change-point scan,
+        # and per-chunk metadata is gathered with `take` on the boundary
+        # indices — planning cost is O(rows) in C plus O(chunks) in
+        # Python, never O(rows) Python objects (at 100 TB the committed
+        # manifest is ~10^7 fragment rows).  The zone-map test still
+        # runs once per CHUNK (slices of a chunk share its stats).
+        if not keep.all():
+            man = man.filter(pa.array(keep))
+        man = man.sort_by(
+            [("file", "ascending"), ("offset", "ascending"), ("row_off", "ascending")]
+        )
+        offsets = man.column("offset").to_numpy(zero_copy_only=False)
+        lengths = man.column("length").to_numpy(zero_copy_only=False)
+        row_offs = man.column("row_off").to_numpy(zero_copy_only=False)
+        n_rows_a = man.column("n_rows").to_numpy(zero_copy_only=False)
+        fdict = man.column("file").combine_chunks().dictionary_encode()
+        fcodes = fdict.indices.to_numpy(zero_copy_only=False)
+        fnames = fdict.dictionary.to_pylist()
+        if man.num_rows:
+            change = np.flatnonzero(
+                (fcodes[1:] != fcodes[:-1]) | (offsets[1:] != offsets[:-1])
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [man.num_rows]))
+        else:  # every chunk pruned by the unit ranges
+            starts = ends = np.array([], dtype=np.int64)
+        if "stats" in man.schema.names:
+            chunk_stats = man.column("stats").take(pa.array(starts)).to_pylist()
+        else:
+            chunk_stats = [None] * len(starts)
 
         norm_terms = _normalize_terms(self._terms, probe_schema) if self._terms else []
         ordered = []
-        for k in sorted(chunks):
-            if norm_terms and not _chunk_keep(chunk_stats[k], norm_terms, probe_schema):
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if norm_terms and not _chunk_keep(chunk_stats[i], norm_terms, probe_schema):
                 continue
-            ordered.append((k[0], k[1], chunk_len[k], sorted(chunks[k])))
+            slices = np.stack((row_offs[s:e], n_rows_a[s:e]), axis=1).tolist()
+            ordered.append((fnames[fcodes[s]], int(offsets[s]), int(lengths[s]), slices))
 
         # pack chunk runs into ~target_bytes partitions, preserving file
         # locality (consecutive chunks of one payload file stay together)
