@@ -595,9 +595,15 @@ def data_scale_main(argv: list[str]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, n_exec)
     _pin_cluster_jvms(n_exec, exec_cores, driver_cores)
-    # warm-up: small fixture, then one full real pass (page cache +
-    # payload writeback setup, same rationale as the headline legs)
-    for wp, nm in ((warm_pq, min(SCALE_N_MAP, 8)), (full, SCALE_N_MAP)):
+    # warm-up: small fixture, then one real pass over EACH timed input
+    # (page cache + payload writeback setup, same rationale as the
+    # headline legs — an unwarmed 1× leg ran ~30% low in the first
+    # round's ratio, inflating the paired efficiency)
+    for wp, nm in (
+        (warm_pq, min(SCALE_N_MAP, 8)),
+        (quarter, SCALE_N_MAP // 4),
+        (full, SCALE_N_MAP),
+    ):
         w = encode_bench(spark, wp, workdir, f"{label}_warm{nm}", map_tasks=nm)
         shutil.rmtree(w["output_dir"], ignore_errors=True)
     legs: dict[str, list] = {"1x": [], "4x": []}
