@@ -580,8 +580,8 @@ def oracle_sql() -> dict[str, str]:
         # epoch-µs ints — identical across engines regardless of how
         # each stringifies timestamps, same convention as events_agg)
         "decode_filters_ts": (
-            "SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events "
-            "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+            "SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value, 2) AS value "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
             "AND ts <= TIMESTAMP '2024-01-15 00:00:00'"
         ),
         # zone maps survive the compaction rewrite: filtered decode over

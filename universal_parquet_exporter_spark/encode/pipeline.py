@@ -1704,9 +1704,13 @@ def q_decode_filters_ts(spark, sf_dir: str):
         )
     dec = decode_dataset(spark, out, filters=[("ts", ">=", lo), ("ts", "<=", hi)])
     # µs epoch ints: identical across engines regardless of how each
-    # stringifies timestamps (same convention as events_agg)
+    # stringifies timestamps (same convention as events_agg); doubles
+    # rounded to 2dp like every other raw-double query column
     return dec.select(
-        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "value"
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.round(F.col("value"), 2).alias("value"),
     )
 
 
