@@ -243,3 +243,21 @@ def test_encode_stream_records_fallback_provenance(monkeypatch, tmp_path):
         )
     )
     assert frags and all(x is False for x in frags[0].column("native").to_pylist())
+
+
+def test_in_list_filter_prunes_and_is_exact(spark, outdir):
+    df = _typed_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    wanted = ["000010", "000011", "000500"]
+    dec = decode_dataset(spark, outdir, filters=[("k", "in", wanted)])
+    assert sorted(r.k for r in dec.collect()) == ["000010", "000011", "000500"]
+    # IN on a timestamp column converts each listed value to epoch-µs
+    ts_vals = [datetime(2024, 1, 1, 5), datetime(2024, 1, 1, 9)]  # ids 5, 9
+    dec2 = decode_dataset(spark, outdir, filters=[("ts", "in", ts_vals)])
+    assert sorted(r.k for r in dec2.collect()) == ["000005", "000009"]
+    with pytest.raises(ValueError, match="empty IN-list"):
+        decode_dataset(spark, outdir, filters=[("k", "in", [])])

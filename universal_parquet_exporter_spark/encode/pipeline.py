@@ -1096,7 +1096,29 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
     }
 
 
-_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==")
+_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==", "in")
+
+
+def _zone_bound_type(ftype: pa.DataType):
+    """(spark cast type, value converter) for comparing a filter value
+    against this column's recorded zone-map bounds: timestamps/dates
+    become exact epoch ints, decimals re-type both sides to the column's
+    own decimal (bounds are stored as exact strings — unscaled ints can
+    overflow int64 at precision 38), ints/floats cast so comparisons
+    stay in the right domain, strings compare lexicographically."""
+    if pa.types.is_integer(ftype):
+        return "long", lambda v: v
+    if pa.types.is_floating(ftype):
+        return "double", lambda v: v
+    if pa.types.is_timestamp(ftype):
+        return "long", ts_value_us
+    if pa.types.is_date(ftype):
+        return "long", date_value_days
+    if pa.types.is_decimal(ftype):
+        from decimal import Decimal
+
+        return f"decimal({ftype.precision},{ftype.scale})", lambda v: Decimal(str(v))
+    return None, lambda v: v
 
 
 def unit_id_ranges(units) -> list[tuple[int, int]]:
@@ -1242,8 +1264,10 @@ def decode_dataset(
     column.  With ``columns``, the key column must be included (the
     residual filter needs it).
 
-    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = ==``, terms
-    AND-ed) prunes CHUNKS by the per-chunk min/max zone maps the encoder
+    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == in``,
+    terms AND-ed; ``in`` takes a non-empty tuple/list and prunes when no
+    listed value fits the bounds) prunes CHUNKS by the per-chunk min/max
+    zone maps the encoder
     records in the manifest (:func:`_chunk_stats` — the parquet
     row-group-statistics analog, orthogonal to key_range's unit
     pruning): a chunk whose recorded bounds cannot satisfy a term is
@@ -1317,6 +1341,8 @@ def decode_dataset(
         for c, op, _v in filters:
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
+            if op == "in" and not _v:
+                raise ValueError(f"empty IN-list for filter column {c!r}")
             if c not in probe.names:
                 raise ValueError(f"filter column {c!r} not in dataset schema")
             if columns is not None and c not in columns:
@@ -1328,42 +1354,26 @@ def decode_dataset(
             # comparisons stay exact (no double round-trip past 2^53).
             keep = None
             for c, op, v in filters:
-                ftype = probe.field(c).type
-                if pa.types.is_integer(ftype):
-                    cast_to = "long"
-                elif pa.types.is_floating(ftype):
-                    cast_to = "double"
-                elif pa.types.is_timestamp(ftype):
-                    # stats store exact epoch-µs ints; the bound value
-                    # (a datetime) converts with the same convention
-                    cast_to = "long"
-                    v = ts_value_us(v)
-                elif pa.types.is_date(ftype):
-                    cast_to = "long"
-                    v = date_value_days(v)
-                elif pa.types.is_decimal(ftype):
-                    # stats store exact decimal strings (unscaled ints
-                    # can overflow int64 at precision 38); re-type both
-                    # sides to the column's own decimal type
-                    from decimal import Decimal
-
-                    cast_to = f"decimal({ftype.precision},{ftype.scale})"
-                    v = Decimal(str(v))
-                else:
-                    cast_to = None  # strings compare lexicographically
+                cast_to, conv = _zone_bound_type(probe.field(c).type)
+                vs = [conv(x) for x in v] if op == "in" else [conv(v)]
                 mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
                 mx = F.get_json_object(F.col("stats"), f"$.{c}[1]")
                 if cast_to:
                     mn, mx = mn.cast(cast_to), mx.cast(cast_to)
-                lit = F.lit(v)
                 if op in (">", ">="):
+                    lit = F.lit(vs[0])
                     cmpc = mx > lit if op == ">" else mx >= lit
                     term = mx.isNull() | cmpc
                 elif op in ("<", "<="):
+                    lit = F.lit(vs[0])
                     cmpc = mn < lit if op == "<" else mn <= lit
                     term = mn.isNull() | cmpc
-                else:  # = / ==
-                    term = (mn.isNull() | (mn <= lit)) & (mx.isNull() | (mx >= lit))
+                else:  # = / == / in: any listed value inside [mn, mx]
+                    term = None
+                    for x in vs:
+                        lit = F.lit(x)
+                        t = (mn.isNull() | (mn <= lit)) & (mx.isNull() | (mx >= lit))
+                        term = t if term is None else (term | t)
                 term = F.col("stats").isNull() | term
                 keep = term if keep is None else (keep & term)
             enc = enc.where(keep)
@@ -1423,9 +1433,12 @@ def decode_dataset(
         # exact residual for every term (chunk pruning is conservative)
         for c, op, v in filters:
             col = F.col(c)
-            out = out.where(
-                {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
-            )
+            if op == "in":
+                out = out.where(col.isin(*v))
+            else:
+                out = out.where(
+                    {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
+                )
     return out
 
 
