@@ -275,23 +275,36 @@ def fsst_encode(data: bytes | np.ndarray, table: FsstTable) -> bytes:
 
 def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
     """Vectorized inverse of :func:`fsst_encode`."""
+    return fsst_decode_np(enc, table).tobytes()
+
+
+def fsst_decode_np(enc: bytes, table: FsstTable) -> np.ndarray:
+    """:func:`fsst_decode` returning a uint8 numpy array WITHOUT the
+    final bytes copy — the chunk decoder wraps the result in Arrow
+    buffers directly, and at document-body sizes the avoided copy is a
+    measurable share of decode wall."""
     codes = np.frombuffer(enc, dtype=np.uint8)
     n = codes.size
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8)
     lib = get_native()
     if lib is not None:
-        flat, offs, lens = table.native_arrays()[:3]
+        arrays = table.native_arrays()
+        lens, vals = arrays[2], arrays[6]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
         total = lib.upes_fsst_decoded_size(codes.ctypes.data_as(u8p), n, lens.ctypes.data_as(i32p))
-        out = np.empty(total, dtype=np.uint8)
+        # +8 tail slack: the C loop writes each symbol as one unaligned
+        # 8-byte store (zero-padded image), so the last token may touch
+        # up to 7 bytes past `total`
+        out = np.empty(total + 8, dtype=np.uint8)
         lib.upes_fsst_decode(
             codes.ctypes.data_as(u8p), n,
-            flat.ctypes.data_as(u8p), offs.ctypes.data_as(i32p),
+            vals.ctypes.data_as(u64p),
             lens.ctypes.data_as(i32p), out.ctypes.data_as(u8p),
         )
-        return out.tobytes()
+        return out[:total]
     # classify positions: escape markers / literals / symbol codes.
     is_ff = codes == ESCAPE
     # markers alternate within each maximal run of 0xFF bytes (run parity),
@@ -333,4 +346,4 @@ def fsst_decode(enc: bytes, table: FsstTable) -> bytes:
     pos_of_byte = np.repeat(src_start, out_len) + (
         np.arange(total, dtype=np.int64) - np.repeat(out_off, out_len)
     )
-    return source[pos_of_byte].tobytes()
+    return source[pos_of_byte]

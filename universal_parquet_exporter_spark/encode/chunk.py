@@ -18,7 +18,7 @@ import pyarrow as pa
 from ..codecs.bitpack import bitpack, bits_needed, bitunpack
 from ..codecs.dictionary import dict_decode_ints, dict_encode_ints
 from ..codecs.forcodec import delta_decode, delta_encode, for_decode, for_encode
-from ..codecs.fsst import FsstTable, fsst_decode, fsst_encode, fsst_train
+from ..codecs.fsst import FsstTable, fsst_decode_np, fsst_encode, fsst_train
 from ..codecs.rle import rle_decode, rle_encode, rle_runs
 
 # ---------------------------------------------------------------------------
@@ -242,7 +242,7 @@ def decode_byte_stream(meta: dict, buffers: list[bytes]) -> np.ndarray:
             return np.empty(0, dtype=np.uint8)
         return np.frombuffer(buffers[0], dtype=np.uint8)
     table = FsstTable.from_meta(meta["table"], buffers[1])
-    return np.frombuffer(fsst_decode(buffers[0], table), dtype=np.uint8)
+    return fsst_decode_np(buffers[0], table)
 
 
 # ---------------------------------------------------------------------------
