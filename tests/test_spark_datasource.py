@@ -377,3 +377,108 @@ def test_overwrite_allows_column_type_change(spark, tmp_path):
     back = spark.read.format("upe_encoded").load(out)
     assert dict(back.dtypes)["n_chars"] == "double"
     assert back.count() == 30
+
+
+# ---------------------------------------------------------------------------
+# streaming READ: tail commits as micro-batches
+# ---------------------------------------------------------------------------
+
+
+def test_stream_read_history_then_increment(spark, tmp_path):
+    """The full source matrix round-trips: batch 0 of a fresh stream
+    replays the dataset's committed history; after an append commit, a
+    RESTART from the same checkpoint emits exactly the new commit's
+    rows — offsets are cursors in the (committed_at, run_id) order, so
+    nothing is re-emitted and nothing is lost."""
+    sds.register(spark)
+    out = str(tmp_path / "sr_out")
+    ck = str(tmp_path / "sr_ck")
+    docs = _docs(spark)
+    cfg = EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    encode_job(spark, docs.where("doc_id < '25'"), cfg)
+
+    seen: list[tuple[int, int]] = []
+
+    def run_pass(collector):
+        q = (
+            spark.readStream.format("upe_encoded")
+            .load(out)
+            .writeStream.foreachBatch(lambda bdf, bid: collector.append((bid, bdf.count())))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass(seen)
+    n_old = docs.where("doc_id < '25'").count()
+    assert sum(c for _, c in seen) == n_old
+
+    docs.where("doc_id >= '25'").write.format("upe_encoded").option(
+        "key_col", "doc_id"
+    ).mode("append").save(out)
+    seen2: list[tuple[int, int]] = []
+    run_pass(seen2)
+    assert sum(c for _, c in seen2) == docs.count() - n_old
+
+
+def test_stream_read_rewrite_fails_loudly(spark, tmp_path):
+    """A manifest rewrite (overwrite pointer swap) changes the
+    generation: outstanding offsets no longer name the same data, so
+    planning the next batch must fail with the restart instruction —
+    never silently re-emit rewritten history (the Iceberg
+    streaming-read rule)."""
+    sds.register(spark)
+    out = str(tmp_path / "sr_rw")
+    df = _docs(spark).limit(60)
+    load_or_build_plan(df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",)))
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("append").save(out)
+
+    reader = sds._EncodedStreamReader({"path": out})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert start["gen"] == "data" and end["ts"] > 0
+
+    df.write.format("upe_encoded").option("key_col", "doc_id").mode("overwrite").save(out)
+    with pytest.raises(ValueError, match="rewritten.*fresh checkpoint"):
+        reader.partitions(start, reader.latestOffset())
+
+
+def test_stream_read_offsets_and_determinism(spark, tmp_path):
+    """Offset mechanics without a streaming query: starting=latest pins
+    the cursor at the current high-water mark; a replayed (start, end]
+    interval plans the IDENTICAL chunk partitions (lineage is
+    append-only within a generation), which is what makes checkpoint
+    replay exactly-once."""
+    sds.register(spark)
+    out = str(tmp_path / "sr_det")
+    docs = _docs(spark)
+    cfg = EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    encode_job(spark, docs.where("doc_id < '3'"), cfg)
+    docs.where("doc_id >= '3'").write.format("upe_encoded").option(
+        "key_col", "doc_id"
+    ).mode("append").save(out)
+
+    latest = sds._EncodedStreamReader({"path": out, "starting": "latest"})
+    assert latest.initialOffset() == latest.latestOffset()
+
+    order = sds._committed_run_order(out)
+    assert order == sorted(order) and len(order) == 2
+
+    tail = sds._EncodedStreamReader({"path": out})
+    start = tail.initialOffset()
+    end = tail.latestOffset()
+    plan_a = [p.chunks for p in tail.partitions(start, end)]
+    plan_b = [p.chunks for p in tail.partitions(start, end)]
+    assert plan_a == plan_b and sum(len(c) for c in plan_a) > 0
+
+    # the interval BETWEEN the two commits contains exactly the second run
+    mid = {"gen": start["gen"], "ts": order[0][0], "run": order[0][1]}
+    second_only = tail.partitions(mid, end)
+    n_second = sum(
+        nr for p in second_only for (_, _, _, slices) in p.chunks for (_, nr) in slices
+    )
+    assert n_second == docs.where("doc_id >= '3'").count()
+
+    with pytest.raises(ValueError, match="earliest|latest"):
+        sds._EncodedStreamReader({"path": out, "starting": "bogus"})

@@ -19,6 +19,10 @@ protocol (pyspark 4.1 ``pyspark.sql.datasource``):
     stream.writeStream.format("upe_encoded").option("key_col", "url") \
       .option("checkpointLocation", ck).start(out_dir)       # streaming sink
 
+    spark.readStream.format("upe_encoded").load(out_dir)      # streaming READ:
+        # tail the dataset's commits as micro-batches (offset = cursor in
+        # the (committed_at, run_id) total order — see _EncodedStreamReader)
+
 What Catalyst's v2 pushdown buys here, mechanically:
 
 - **Filter pushdown** (``DataSourceReader.pushFilters``): predicates from
@@ -77,6 +81,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -451,81 +456,105 @@ class _EncodedReader(DataSourceReader):
                             pts.update(units_for_key_range(plan, x, x))
                         keep &= np.isin(units, np.asarray(sorted(pts), dtype=np.int64))
 
-        # group manifest rows (unit-slices) by their chunk, VECTORIZED:
-        # unit-prune filter + (file, offset, row_off) sort run in Arrow
-        # C++, chunk boundaries come from one numpy change-point scan,
-        # and per-chunk metadata is gathered with `take` on the boundary
-        # indices — planning cost is O(rows) in C plus O(chunks) in
-        # Python, never O(rows) Python objects (at 100 TB the committed
-        # manifest is ~10^7 fragment rows).  The zone-map test still
-        # runs once per CHUNK (slices of a chunk share its stats).
         if not keep.all():
             man = man.filter(pa.array(keep))
-        man = man.sort_by(
-            [("file", "ascending"), ("offset", "ascending"), ("row_off", "ascending")]
-        )
-        offsets = man.column("offset").to_numpy(zero_copy_only=False)
-        lengths = man.column("length").to_numpy(zero_copy_only=False)
-        row_offs = man.column("row_off").to_numpy(zero_copy_only=False)
-        n_rows_a = man.column("n_rows").to_numpy(zero_copy_only=False)
-        fdict = man.column("file").combine_chunks().dictionary_encode()
-        fcodes = fdict.indices.to_numpy(zero_copy_only=False)
-        fnames = fdict.dictionary.to_pylist()
-        if man.num_rows:
-            change = np.flatnonzero(
-                (fcodes[1:] != fcodes[:-1]) | (offsets[1:] != offsets[:-1])
-            )
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [man.num_rows]))
-        else:  # every chunk pruned by the unit ranges
-            starts = ends = np.array([], dtype=np.int64)
-        if "stats" in man.schema.names:
-            chunk_stats = man.column("stats").take(pa.array(starts)).to_pylist()
-        else:
-            chunk_stats = [None] * len(starts)
-
         norm_terms = _normalize_terms(self._terms, probe_schema) if self._terms else []
-        ordered = []
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            if norm_terms and not _chunk_keep(chunk_stats[i], norm_terms, probe_schema):
-                continue
-            slices = np.stack((row_offs[s:e], n_rows_a[s:e]), axis=1).tolist()
-            ordered.append((fnames[fcodes[s]], int(offsets[s]), int(lengths[s]), slices))
-
-        # pack chunk runs into ~target_bytes partitions, preserving file
-        # locality (consecutive chunks of one payload file stay together)
-        parts: list[_ChunkScanPartition] = []
-        cur: list = []
-        cur_bytes = 0
-        for ch in ordered:
-            cur.append(ch)
-            cur_bytes += ch[2]
-            if cur_bytes >= self.target_bytes:
-                parts.append(_ChunkScanPartition(payload_dir, self.columns, cur, want_fields))
-                cur, cur_bytes = [], 0
-        if cur or not parts:
-            parts.append(_ChunkScanPartition(payload_dir, self.columns, cur, want_fields))
-        return parts
+        return _pack_chunk_partitions(
+            man, payload_dir, self.columns, want_fields,
+            self.target_bytes, norm_terms, probe_schema,
+        )
 
     def read(self, partition: _ChunkScanPartition):
-        handles: dict[str, object] = {}
-        try:
-            for fname, off, length, slices in partition.chunks:
-                fh = handles.get(fname)
-                if fh is None:
-                    fh = handles[fname] = _open_payload(partition.payload_dir, fname)
-                fh.seek(off)
-                tbl = _pad_table(
-                    deserialize_chunk(fh.read(length), partition.columns, missing_ok=True),
-                    partition.fields,
-                )
-                for roff, nr in slices:
-                    for b in tbl.slice(roff, nr).to_batches():
-                        if b.num_rows:
-                            yield _normalize_batch(b)
-        finally:
-            for fh in handles.values():
-                fh.close()
+        return _read_chunk_partition(partition)
+
+
+def _pack_chunk_partitions(
+    man: pa.Table,
+    payload_dir: str,
+    columns: list[str] | None,
+    want_fields: list,
+    target_bytes: int,
+    norm_terms: list,
+    probe_schema: pa.Schema,
+) -> list[_ChunkScanPartition]:
+    """Group manifest rows (unit-slices) by their chunk, VECTORIZED:
+    the (file, offset, row_off) sort runs in Arrow C++, chunk boundaries
+    come from one numpy change-point scan, and per-chunk metadata is
+    gathered with ``take`` on the boundary indices — planning cost is
+    O(rows) in C plus O(chunks) in Python, never O(rows) Python objects
+    (at 100 TB the committed manifest is ~10^7 fragment rows).  The
+    zone-map test runs once per CHUNK (slices of a chunk share its
+    stats).  Shared by the batch reader and the stream reader — the
+    stream plans the same way over the manifest rows of one offset
+    range."""
+    man = man.sort_by(
+        [("file", "ascending"), ("offset", "ascending"), ("row_off", "ascending")]
+    )
+    offsets = man.column("offset").to_numpy(zero_copy_only=False)
+    lengths = man.column("length").to_numpy(zero_copy_only=False)
+    row_offs = man.column("row_off").to_numpy(zero_copy_only=False)
+    n_rows_a = man.column("n_rows").to_numpy(zero_copy_only=False)
+    fdict = man.column("file").combine_chunks().dictionary_encode()
+    fcodes = fdict.indices.to_numpy(zero_copy_only=False)
+    fnames = fdict.dictionary.to_pylist()
+    if man.num_rows:
+        change = np.flatnonzero(
+            (fcodes[1:] != fcodes[:-1]) | (offsets[1:] != offsets[:-1])
+        )
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [man.num_rows]))
+    else:  # every chunk pruned
+        starts = ends = np.array([], dtype=np.int64)
+    if "stats" in man.schema.names:
+        chunk_stats = man.column("stats").take(pa.array(starts)).to_pylist()
+    else:
+        chunk_stats = [None] * len(starts)
+
+    ordered = []
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        if norm_terms and not _chunk_keep(chunk_stats[i], norm_terms, probe_schema):
+            continue
+        slices = np.stack((row_offs[s:e], n_rows_a[s:e]), axis=1).tolist()
+        ordered.append((fnames[fcodes[s]], int(offsets[s]), int(lengths[s]), slices))
+
+    # pack chunk runs into ~target_bytes partitions, preserving file
+    # locality (consecutive chunks of one payload file stay together)
+    parts: list[_ChunkScanPartition] = []
+    cur: list = []
+    cur_bytes = 0
+    for ch in ordered:
+        cur.append(ch)
+        cur_bytes += ch[2]
+        if cur_bytes >= target_bytes:
+            parts.append(_ChunkScanPartition(payload_dir, columns, cur, want_fields))
+            cur, cur_bytes = [], 0
+    if cur or not parts:
+        parts.append(_ChunkScanPartition(payload_dir, columns, cur, want_fields))
+    return parts
+
+
+def _read_chunk_partition(partition: _ChunkScanPartition):
+    """Executor-side scan of one packed chunk run (shared by the batch
+    and stream readers): each chunk deserializes ONCE, its unit-slices
+    yield as Arrow batches."""
+    handles: dict[str, object] = {}
+    try:
+        for fname, off, length, slices in partition.chunks:
+            fh = handles.get(fname)
+            if fh is None:
+                fh = handles[fname] = _open_payload(partition.payload_dir, fname)
+            fh.seek(off)
+            tbl = _pad_table(
+                deserialize_chunk(fh.read(length), partition.columns, missing_ok=True),
+                partition.fields,
+            )
+            for roff, nr in slices:
+                for b in tbl.slice(roff, nr).to_batches():
+                    if b.num_rows:
+                        yield _normalize_batch(b)
+    finally:
+        for fh in handles.values():
+            fh.close()
 
 
 class _EncodedPushdownReader(_EncodedReader):
@@ -536,6 +565,151 @@ class _EncodedPushdownReader(_EncodedReader):
         fl = list(filters)
         self._terms = _terms_from_filters(fl)
         return fl
+
+
+# ---------------------------------------------------------------------------
+# streaming read: tail an encoded dataset's commits as micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _current_generation(path: str) -> str:
+    """The dataset's live manifest-generation name (``data`` or
+    ``data_v<N>`` after an atomic overwrite/vacuum pointer swap)."""
+    return os.path.basename(manifest_dir(path).rstrip("/"))
+
+
+def _committed_run_order(path: str) -> list[tuple[int, str]]:
+    """Committed runs as a TOTAL ORDER ``(committed_at_µs, run_id)`` —
+    the stream's cursor space.  ``committed_at`` is stamped once per
+    commit (``F.current_timestamp()`` is query-constant; the DataSource
+    sink stamps one ``datetime.now`` per commit), so a run collapses to
+    one cursor point; ``run_id`` (uuid hex) breaks µs ties
+    deterministically.  Runs predating the ``committed_at`` column sort
+    at epoch 0 — an old dataset replays entirely in the first batch,
+    ordered by run id, which is the only order its metadata can
+    support."""
+    import pyarrow.compute as pc
+
+    lin = _read_meta_table(
+        os.path.join(path, "lineage"), ["run_id", "status", "committed_at"]
+    )
+    if lin is None or lin.num_rows == 0:
+        return []
+    lin = lin.filter(pc.equal(lin.column("status"), "ok"))
+    if "committed_at" in lin.schema.names:
+        ts = pc.fill_null(lin.column("committed_at").cast(pa.int64()), 0)
+        lin = lin.set_column(lin.schema.get_field_index("committed_at"), "committed_at", ts)
+    else:
+        lin = lin.append_column("committed_at", pa.array([0] * lin.num_rows, pa.int64()))
+    runs = lin.group_by("run_id").aggregate([("committed_at", "max")])
+    out = sorted(
+        zip(
+            runs.column("committed_at_max").to_pylist(),
+            runs.column("run_id").to_pylist(),
+        )
+    )
+    return [(int(t), r) for t, r in out]
+
+
+class _EncodedStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("upe_encoded")`` — tail a dataset's
+    COMMITS.  Completes the source matrix (batch read, batch sink,
+    stream sink): an encoded dataset becomes a message-log-like input
+    for downstream Structured Streaming jobs, the Delta/Iceberg
+    streaming-table pattern re-expressed over this engine's
+    manifest+lineage commit protocol.
+
+    Offsets are ``{"gen", "ts", "run"}``: the manifest GENERATION the
+    stream is pinned to plus the high-water cursor in the total order
+    ``(committed_at_µs, run_id)`` over committed runs
+    (:func:`_committed_run_order`).  A micro-batch is the half-open
+    cursor interval ``(start, end]`` → the manifest fragments of exactly
+    those runs, planned into locality-packed chunk partitions by the
+    same vectorized planner the batch reader uses
+    (:func:`_pack_chunk_partitions`).  Lineage is append-only within a
+    generation, so a replayed ``(start, end]`` rebuilds byte-identical
+    batches — exactly-once through Spark's own offset log, with no
+    reader-side state.
+
+    Determinism contract (documented, enforced where cheap): commits to
+    a streamed dataset must come through this engine's commit paths
+    (they stamp ``committed_at`` from one clock per commit).  A manifest
+    REWRITE — ``mode("overwrite")``, compaction pointer swap — changes
+    the generation and invalidates every outstanding cursor; rather
+    than silently re-emitting rewritten history, ``partitions()`` fails
+    loudly and the stream must restart from a fresh checkpoint (the
+    Iceberg streaming-read rule).  ``initialOffset`` honors
+    ``option("starting", "earliest"|"latest")`` — earliest (default)
+    replays the dataset's full committed history as batch 0."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("upe_encoded requires a path: .load(<output_dir>)")
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        self.target_bytes = int(options.get("partition_target_bytes", 64 << 20))
+        self.starting = options.get("starting", "earliest").lower()
+        if self.starting not in ("earliest", "latest"):
+            raise ValueError(f"starting must be earliest|latest, got {self.starting!r}")
+
+    # -- offsets -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return self.latestOffset()
+        return {"gen": _current_generation(self.path), "ts": -1, "run": ""}
+
+    def latestOffset(self) -> dict:
+        order = _committed_run_order(self.path)
+        if not order:
+            return {"gen": _current_generation(self.path), "ts": -1, "run": ""}
+        ts, run = order[-1]
+        return {"gen": _current_generation(self.path), "ts": ts, "run": run}
+
+    # -- planning (driver) ----------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.compute as pc
+
+        gen = _current_generation(self.path)
+        for off in (start, end):
+            if off.get("gen") != gen:
+                raise ValueError(
+                    f"encoded dataset {self.path} was rewritten (manifest "
+                    f"generation {off.get('gen')!r} -> {gen!r}, e.g. by "
+                    "mode('overwrite'), compaction, or vacuum's pointer "
+                    "swap) while a stream was reading it; its offsets no "
+                    "longer name the same data. Restart the stream with a "
+                    "fresh checkpointLocation to re-baseline."
+                )
+        lo = (int(start.get("ts", -1)), start.get("run", ""))
+        hi = (int(end.get("ts", -1)), end.get("run", ""))
+        runs = [r for t, r in _committed_run_order(self.path) if lo < (t, r) <= hi]
+        payload_dir = os.path.join(self.path, "payload")
+        man = _committed_manifest(self.path)
+        if man.num_rows == 0 or not runs:
+            return [_ChunkScanPartition(payload_dir, self.columns, [], [])]
+        # the OUTPUT schema is the full dataset's union (fixed at stream
+        # start by Spark) — probe it from the whole manifest, then plan
+        # scan partitions from this interval's fragments only
+        probe_schema = _probe_chunk_schema(self.path, man)
+        want_fields = (
+            [probe_schema.field(c) for c in self.columns]
+            if self.columns
+            else list(probe_schema)
+        )
+        batch_man = man.filter(pc.is_in(man.column("run_id"), pa.array(runs, pa.string())))
+        return _pack_chunk_partitions(
+            batch_man, payload_dir, self.columns, want_fields,
+            self.target_bytes, [], probe_schema,
+        )
+
+    # -- executor side ---------------------------------------------------
+    def read(self, partition: _ChunkScanPartition):
+        return _read_chunk_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint; nothing reader-side to GC
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -984,3 +1158,6 @@ class EncodedContainerDataSource(DataSource):
         if overwrite:
             raise ValueError("upe_encoded streaming supports append mode only")
         return _EncodedStreamWriter(self.options, schema)
+
+    def streamReader(self, schema):
+        return _EncodedStreamReader(self.options)
