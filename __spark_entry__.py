@@ -54,6 +54,9 @@ from universal_parquet_exporter_spark.sources.spark_datasource import (
     q_source_write_roundtrip as _q_source_write_roundtrip,
 )
 from universal_parquet_exporter_spark.sources.spark_datasource import (
+    q_source_stream_read as _q_source_stream_read,
+)
+from universal_parquet_exporter_spark.sources.spark_datasource import (
     q_evolve_roundtrip as _q_evolve_roundtrip,
 )
 from universal_parquet_exporter_spark.operators import (
@@ -100,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_filtered": _q_compact_filtered,
         "source_read_filtered": _q_source_read_filtered,
         "source_write_roundtrip": _q_source_write_roundtrip,
+        "source_stream_read": _q_source_stream_read,
         "evolve_roundtrip": _q_evolve_roundtrip,
         # --- round-4-stale rows, certified fresh this round (VERDICT #1) ---
         "media_frames": multimodal.q_media_frames,
@@ -617,6 +621,13 @@ def oracle_sql() -> dict[str, str]:
         # Spark DataSource SINK (commit-protocol encode) + format read
         # back must reproduce the source exactly
         "source_write_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # Spark DataSource STREAMING READER: tailing the commit log
+        # (two commits, consumed as availableNow micro-batches) must
+        # reproduce the dataset exactly — no row lost, none duplicated
+        # across the offset intervals
+        "source_stream_read": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # additive schema evolution: two appends with different schemas

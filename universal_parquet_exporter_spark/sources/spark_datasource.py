@@ -1070,6 +1070,52 @@ def q_source_write_roundtrip(spark, sf_dir: str):
     )
 
 
+def q_source_stream_read(spark, sf_dir: str):
+    """Driver-contract query: two separate commits into an encoded
+    dataset (an engine ``encode_job`` then a DataSource append), then
+    the WHOLE history consumed through the ``upe_encoded`` STREAMING
+    READER (``availableNow``) — each micro-batch lands in a parquet
+    staging dir via ``foreachBatch``, and the returned DataFrame is
+    the union of the emitted batches.  A plain SELECT oracle certifies
+    that tailing the commit log reproduces the dataset exactly (no row
+    lost, none duplicated across the offset intervals) — the
+    stream-read twin of ``source_write_roundtrip``."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..encode.pipeline import EncodeJobConfig, encode_job
+
+    out = tempfile.mkdtemp(prefix="upes_dsr_stream_")
+    staging = tempfile.mkdtemp(prefix="upes_dsr_stage_")
+    ck = tempfile.mkdtemp(prefix="upes_dsr_ck_")
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    cfg = EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    encode_job(spark, df.where("doc_id < '25'"), cfg)
+    register(spark)
+    df.where("doc_id >= '25'").write.format("upe_encoded").option(
+        "key_col", "doc_id"
+    ).mode("append").save(out)
+
+    q = (
+        spark.readStream.format("upe_encoded")
+        .load(out)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(staging)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(staging)
+    return got.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+
+
 def q_evolve_roundtrip(spark, sf_dir: str):
     """Driver-contract query: two appends with DIFFERENT schemas —
     generation 1 keeps the base columns, generation 2 drops ``source``
