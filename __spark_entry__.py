@@ -33,6 +33,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_ts as _q_decode_filters_ts,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_filters_dv as _q_decode_filters_dv,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -98,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_key_range_open": _q_decode_key_range_open,
         "decode_filters": _q_decode_filters,
         "decode_filters_ts": _q_decode_filters_ts,
+        "decode_filters_dv": _q_decode_filters_dv,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_filtered": _q_compact_filtered,
@@ -587,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value, 2) AS value "
             "FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
             "AND ts <= TIMESTAMP '2024-01-15 00:00:00'"
+        ),
+        # DISTINCT-VALUE-SET equality pruning: an IN mixing a present
+        # lang with an absent-but-inside-bounds one ('eo') — membership
+        # pruning must lose nothing and add nothing vs the plain IN
+        "decode_filters_dv": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang IN ('de', 'eo')"
         ),
         # zone maps survive the compaction rewrite: filtered decode over
         # the re-packed manifest == the plain predicate (keys are

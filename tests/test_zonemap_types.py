@@ -261,3 +261,123 @@ def test_in_list_filter_prunes_and_is_exact(spark, outdir):
     assert sorted(r.k for r in dec2.collect()) == ["000005", "000009"]
     with pytest.raises(ValueError, match="empty IN-list"):
         decode_dataset(spark, outdir, filters=[("k", "in", [])])
+
+
+# ---------------------------------------------------------------------------
+# distinct-value sets: exact equality pruning where bounds never exclude
+# ---------------------------------------------------------------------------
+
+
+def _dv_df(spark, n=600):
+    """Keys clustered (zero-padded) with a CATEGORICAL column whose value
+    is interleaved within every chunk: min/max bounds on `cat` span the
+    whole alphabet in every chunk, so only the distinct-value set can
+    prune an equality term."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.element_at(
+            F.array(F.lit("ar"), F.lit("de"), F.lit("en"), F.lit("fr"), F.lit("zh")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("cat"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_chunk_stats_records_distinct_sets():
+    t = pa.table(
+        {
+            "k": pa.array([str(i) for i in range(200)]),
+            "cat": pa.array(["de", "en", "fr", "ja"] * 50),
+            "score": pa.array([float(i) for i in range(200)]),
+            "ts": pa.array(
+                [datetime(2024, 1, 1, i % 3) for i in range(200)], pa.timestamp("us")
+            ),
+            "price": pa.array([Decimal("1.50"), Decimal("2.75")] * 100, pa.decimal128(12, 2)),
+        }
+    )
+    s = json.loads(_chunk_stats(t))
+    assert s["_dv"]["cat"] == ["de", "en", "fr", "ja"]  # sorted, exact
+    assert "score" not in s["_dv"]  # floats record no sets
+    assert s["_dv"]["ts"] == sorted(
+        ts_value_us(datetime(2024, 1, 1, h)) for h in (0, 1, 2)
+    )  # zone-map domain: epoch-µs ints
+    assert s["_dv"]["price"] == ["1.50", "2.75"]  # exact decimal strings
+    assert "k" not in s["_dv"]  # 200 distinct > cap
+    assert s["cat"] == ["de", "ja"]  # bounds unchanged beside the sets
+
+
+def test_chunk_stats_dv_guards():
+    # long-string members: the whole set is dropped, never truncated
+    long = "x" * 100
+    t = pa.table({"c": pa.array([long, "short"] * 10)})
+    s = json.loads(_chunk_stats(t))
+    assert "_dv" not in s
+    # a REAL column named _dv: no set map is emitted, and no bounds
+    # under the reserved key — readers can never misparse
+    t2 = pa.table({"_dv": pa.array([1, 2, 3]), "cat": pa.array(["a", "b", "c"])})
+    s2 = json.loads(_chunk_stats(t2))
+    assert "_dv" not in s2 and s2["cat"] == ["a", "c"]
+
+
+def test_dv_equality_prunes_where_bounds_cannot(spark, outdir):
+    """'es' sits strictly inside every chunk's [ar..zh] cat bounds but
+    occurs in no row: bounds keep every chunk, the distinct sets prune
+    every chunk — the interleaved-categorical case this feature exists
+    for — while a PRESENT value stays exact."""
+    from pyspark.sql import functions as F
+
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    # manifest evidence: one aggregation row, no manifest collect
+    dvj = F.get_json_object(F.col("stats"), "$._dv.cat")
+    member = F.array_contains(F.from_json(dvj, "array<string>"), F.lit("es"))
+    row = (
+        spark.read.parquet(manifest_dir(outdir))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((dvj.isNull() | member).cast("long")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert row.total > 1 and int(row.q) == 0, f"dv sets pruned nothing ({row.q}/{row.total})"
+
+    assert decode_dataset(spark, outdir, filters=[("cat", "=", "es")]).count() == 0
+    got = decode_dataset(spark, outdir, filters=[("cat", "=", "de")])
+    assert got.count() == df.where("cat = 'de'").count() > 0
+    # IN mixing absent + present values stays exact (membership is ANY)
+    got_in = decode_dataset(spark, outdir, filters=[("cat", "in", ["es", "de"])])
+    assert got_in.count() == df.where("cat = 'de'").count()
+
+
+def test_dv_pruning_through_datasource_reader(spark, outdir):
+    from pyspark.sql.datasource import EqualTo
+
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    sds.register(spark)
+
+    def kept(filters):
+        r = sds._EncodedPushdownReader({"path": outdir})
+        r.pushFilters(filters)
+        return sum(len(p.chunks) for p in r.partitions())
+
+    n_absent = kept([EqualTo(("cat",), "es")])
+    n_present = kept([EqualTo(("cat",), "de")])
+    assert n_absent == 0 < n_present
+    got = (
+        spark.read.format("upe_encoded").load(outdir).where("cat = 'de'").count()
+    )
+    assert got == df.where("cat = 'de'").count()

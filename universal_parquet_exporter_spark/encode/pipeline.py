@@ -70,6 +70,8 @@ FRAG_SCHEMA = (
 )
 
 _STATS_STR_MAX = 64  # string bound length cap (see _chunk_stats)
+_STATS_DV_MAX = 16  # distinct-value set cap (see _chunk_stats)
+_STATS_DV_PROBE = 2048  # rows probed before committing to a full unique()
 
 _TS_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}  # ns divides
 
@@ -120,12 +122,28 @@ def _chunk_stats(tbl: pa.Table) -> str:
       at precision 38; the pruning side re-types them from the probed
       schema) — so ``warc_ts``-style time-range scans prune, the
       canonical Common-Crawl filter column (SURVEY §1.2);
-    - all-null columns record no bounds."""
+    - all-null columns record no bounds.
+
+    Low-cardinality columns additionally record their EXACT distinct
+    values under the reserved ``_dv`` key (``{"_dv": {col: [v, ...]}}``)
+    when a chunk holds ≤ ``_STATS_DV_MAX`` of them: equality/IN terms on
+    interleaved categorical columns (``lang = 'de'``) then prune chunks
+    that min/max bounds can never exclude (``'de'`` sits inside every
+    chunk's [ar..zh] range).  This is the metadata-plane-sized answer to
+    point lookups — a real per-chunk Bloom filter needs ~1 byte/value
+    (40 KB/chunk at 32k rows), which belongs in payload, not in a 10^7-
+    row manifest; a ≤16-value set costs ≤ ~200 B and is EXACT, not
+    probabilistic.  High-cardinality columns exit on a ``_STATS_DV_PROBE``-
+    row prefix probe before any full unique() pass; values are stored in
+    the same domain as the bounds (µs/days ints, decimal strings), and a
+    string set is dropped whole if any member exceeds the length cap
+    (a truncated member would break equality exactness)."""
     import math
 
     import pyarrow.compute as pc
 
     stats: dict[str, list] = {}
+    dv_map: dict[str, list] = {}
     for field in tbl.schema:
         t = field.type
         is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
@@ -141,14 +159,23 @@ def _chunk_stats(tbl: pa.Table) -> str:
         if col.null_count == len(col):
             continue
         if is_str:
+            # avg > cap ⟹ some member > cap ⟹ the set would be dropped
+            # whole — skip the probe without changing the result (and
+            # document bodies skip hashing 2048 long strings per chunk)
+            avg_len = col.nbytes / max(len(col) - col.null_count, 1)
+        if not pa.types.is_floating(t) and field.name != "_dv" and not (
+            is_str and avg_len > _STATS_STR_MAX
+        ):
+            dv = _dv_values(col, t)
+            if dv is not None:
+                dv_map[field.name] = dv
+        if is_str and avg_len > _STATS_STR_MAX:
             # skip long-string columns (document bodies): their maxima
             # would be dropped and their minima truncated to near-useless
             # prefixes, yet min_max would scan every byte — a measurable
             # tax on the hot encode path for bounds that never prune.
             # Keys/ids/enum-ish columns (avg value <= cap) keep stats.
-            avg_len = col.nbytes / max(len(col) - col.null_count, 1)
-            if avg_len > _STATS_STR_MAX:
-                continue
+            continue
         mm = pc.min_max(col)
         if is_ts:
             mn = _ts_scalar_us(mm["min"], t.unit)
@@ -171,8 +198,40 @@ def _chunk_stats(tbl: pa.Table) -> str:
             mn = mn[:_STATS_STR_MAX]
             if len(mx) > _STATS_STR_MAX:
                 mx = None
-        stats[field.name] = [mn, mx]
+        if field.name != "_dv":  # a real column named _dv would shadow the set map
+            stats[field.name] = [mn, mx]
+    if dv_map and "_dv" not in tbl.schema.names:
+        stats["_dv"] = dv_map
     return json.dumps(stats, separators=(",", ":"))
+
+
+def _dv_values(col, t) -> list | None:
+    """The column's exact distinct-value set in the zone-map domain, or
+    None when it exceeds ``_STATS_DV_MAX`` (a prefix probe exits before
+    the full unique() on high-cardinality columns) or any string member
+    exceeds the length cap.  Sorted — stats stay byte-deterministic."""
+    import pyarrow.compute as pc
+
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(flat) > _STATS_DV_PROBE:
+        if pc.count_distinct(flat.slice(0, _STATS_DV_PROBE)).as_py() > _STATS_DV_MAX:
+            return None
+    u = pc.unique(flat).drop_null()
+    if len(u) > _STATS_DV_MAX or len(u) == 0:
+        return None
+    if pa.types.is_timestamp(t):
+        mult = _TS_UNIT_TO_US[t.unit]
+        raw = u.cast(pa.int64()).to_pylist()
+        vals = [r // 1000 if mult is None else r * mult for r in raw]
+    elif pa.types.is_date(t):
+        vals = [date_value_days(v) for v in u.to_pylist()]
+    elif pa.types.is_decimal(t):
+        vals = [str(v) for v in u.to_pylist()]
+    else:
+        vals = u.to_pylist()
+        if vals and isinstance(vals[0], str) and any(len(v) > _STATS_STR_MAX for v in vals):
+            return None
+    return sorted(vals)
 
 
 def _payload_fs(path: str):
@@ -1121,6 +1180,31 @@ def _zone_bound_type(ftype: pa.DataType):
     return None, lambda v: v
 
 
+def _dv_array_col(c: str, ftype: pa.DataType, cast_to: str | None):
+    """Spark Column parsing the stats ``_dv.<c>`` JSON array into the
+    column's zone-map domain for ``array_contains`` membership, or None
+    when this type records no distinct sets (floats).  Stored domains:
+    ints for integer/timestamp/date (parse as array<bigint>), exact
+    strings for decimal (parse as array<string>, transform-cast to the
+    column's own decimal so '1.50' == 1.5), raw strings otherwise."""
+    from pyspark.sql import functions as F
+
+    if pa.types.is_floating(ftype):
+        return None
+    if pa.types.is_decimal(ftype):
+        return F.expr(
+            f"transform(from_json(get_json_object(stats, '$._dv.{c}'), "
+            f"'array<string>'), x -> cast(x AS {cast_to}))"
+        )
+    if cast_to == "long":
+        return F.from_json(
+            F.get_json_object(F.col("stats"), f"$._dv.{c}"), "array<bigint>"
+        )
+    return F.from_json(
+        F.get_json_object(F.col("stats"), f"$._dv.{c}"), "array<string>"
+    )
+
+
 def unit_id_ranges(units) -> list[tuple[int, int]]:
     """Collapse a unit-id list into inclusive contiguous ``(lo, hi)``
     ranges.  :func:`..plans.partitioning.units_for_key_range` returns a
@@ -1374,6 +1458,21 @@ def decode_dataset(
                         lit = F.lit(x)
                         t = (mn.isNull() | (mn <= lit)) & (mx.isNull() | (mx >= lit))
                         term = t if term is None else (term | t)
+                    # distinct-value set: when the chunk recorded its
+                    # exact values (≤ _STATS_DV_MAX), equality prunes on
+                    # MEMBERSHIP — the interleaved-categorical case
+                    # bounds can never exclude.  Absent set → keep.
+                    dv_arr = _dv_array_col(c, probe.field(c).type, cast_to)
+                    if dv_arr is not None:
+                        member = None
+                        for x in vs:
+                            litx = F.lit(x)
+                            if cast_to and cast_to.startswith("decimal"):
+                                litx = litx.cast(cast_to)
+                            m = F.array_contains(dv_arr, litx)
+                            member = m if member is None else (member | m)
+                        dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
+                        term = term & (dvj.isNull() | member)
                 term = F.col("stats").isNull() | term
                 keep = term if keep is None else (keep & term)
             enc = enc.where(keep)
@@ -1668,6 +1767,50 @@ def q_decode_filters(spark, sf_dir: str):
     dec = decode_dataset(
         spark, out, filters=[("doc_id", ">=", "5"), ("n_chars", ">=", 200)]
     )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_filters_dv(spark, sf_dir: str):
+    """Driver-contract query: DISTINCT-VALUE-SET equality pruning — an
+    IN term on the interleaved categorical ``lang`` column mixing a
+    present value with one ('eo') that sits strictly INSIDE every
+    chunk's [min, max] lang bounds but occurs in no row.  Bounds can
+    never exclude it; only the recorded exact value sets can, so the
+    query raises unless the sets pruned the absent value's membership in
+    some chunk — then returns the present value's rows for the oracle's
+    value hash (exactness: pruning must not lose a single 'de' row
+    sharing chunks with the pruned check).  Oracle: plain IN predicate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_dvq_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    # evidence as ONE aggregation row: no chunk's recorded set holds 'eo'
+    dvj = F.get_json_object(F.col("stats"), "$._dv.lang")
+    member = F.array_contains(F.from_json(dvj, "array<string>"), F.lit("eo"))
+    ev = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((dvj.isNull() | member).cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"distinct-value sets pruned nothing ({ev.qualifying}/{ev.total})"
+        )
+    dec = decode_dataset(spark, out, filters=[("lang", "in", ["de", "eo"])])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
     )

@@ -354,9 +354,39 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
         stats = json.loads(stats_json)
     except (TypeError, ValueError):
         return True
+    dv_map = stats.get("_dv")
+    if not isinstance(dv_map, dict):
+        dv_map = {}
     for col, op, v in terms:
+        # exact distinct-value sets (≤ _STATS_DV_MAX values recorded):
+        # equality/IN/prefix prune on MEMBERSHIP — the interleaved-
+        # categorical case min/max bounds can never exclude
+        dv = dv_map.get(col)
+        if dv is not None and op in ("=", "in", "startswith"):
+            if schema is not None and col in schema.names and pa.types.is_decimal(
+                schema.field(col).type
+            ):
+                from decimal import Decimal
+
+                try:
+                    dv = [Decimal(str(x)) for x in dv]
+                except ArithmeticError:
+                    dv = None
+            try:
+                if dv is None:
+                    pass
+                elif op == "=" and v not in dv:
+                    return False
+                elif op == "in" and not any(x in dv for x in v):
+                    return False
+                elif op == "startswith" and all(isinstance(x, str) for x in dv) and not any(
+                    x.startswith(v) for x in dv
+                ):
+                    return False
+            except TypeError:
+                pass  # cross-type membership: never prune on it
         bounds = stats.get(col)
-        if not bounds:
+        if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
             continue
         mn, mx = bounds
         if schema is not None and col in schema.names and pa.types.is_decimal(schema.field(col).type):
