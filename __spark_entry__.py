@@ -36,6 +36,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_dv as _q_decode_filters_dv,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_filters_null as _q_decode_filters_null,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -102,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filters": _q_decode_filters,
         "decode_filters_ts": _q_decode_filters_ts,
         "decode_filters_dv": _q_decode_filters_dv,
+        "decode_filters_null": _q_decode_filters_null,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_filtered": _q_compact_filtered,
@@ -598,6 +602,14 @@ def oracle_sql() -> dict[str, str]:
         "decode_filters_dv": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang IN ('de', 'eo')"
+        ),
+        # NULL-COUNT pruning: IS NOT NULL over a column nulled on a
+        # key-contiguous half — all-null chunks prune on recorded null
+        # counts (bounds say nothing about nulls), mixed chunks
+        # re-filter exactly
+        "decode_filters_null": (
+            "SELECT doc_id, lang AS opt_lang, n_chars FROM documents "
+            "WHERE doc_id % 500 >= 250"
         ),
         # zone maps survive the compaction rewrite: filtered decode over
         # the re-packed manifest == the plain predicate (keys are

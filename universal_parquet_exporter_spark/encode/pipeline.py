@@ -137,13 +137,31 @@ def _chunk_stats(tbl: pa.Table) -> str:
     row prefix probe before any full unique() pass; values are stored in
     the same domain as the bounds (µs/days ints, decimal strings), and a
     string set is dropped whole if any member exceeds the length cap
-    (a truncated member would break equality exactness)."""
+    (a truncated member would break equality exactness).
+
+    Every chunk also records its row count under ``_n`` and per-column
+    null counts under ``_nc`` (ALL columns, zeros included — the parquet
+    null-count analog, type-agnostic so binary/bool/list columns get
+    them too).  Consumers prune ``IS NULL`` terms when a column's count
+    is 0, ``IS NOT NULL`` terms when it equals ``_n``, and — because
+    comparison/equality predicates are null-rejecting — any other term
+    when the column is all-null IN THAT CHUNK, which includes chunks
+    from generations that predate the column under additive schema
+    evolution (their ``_nc`` simply lacks the key).  A column absent
+    from ``_nc`` on a chunk whose map exists therefore means all-null;
+    a chunk with no ``_nc`` at all (pre-feature data, or a dataset with
+    a real column named ``_n``/``_nc``, which suppresses both reserved
+    keys) never prunes on null counts."""
     import math
 
     import pyarrow.compute as pc
 
     stats: dict[str, list] = {}
     dv_map: dict[str, list] = {}
+    if "_n" not in tbl.schema.names and "_nc" not in tbl.schema.names:
+        nc_map = {f.name: tbl.column(f.name).null_count for f in tbl.schema}
+    else:
+        nc_map = None
     for field in tbl.schema:
         t = field.type
         is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
@@ -202,6 +220,9 @@ def _chunk_stats(tbl: pa.Table) -> str:
             stats[field.name] = [mn, mx]
     if dv_map and "_dv" not in tbl.schema.names:
         stats["_dv"] = dv_map
+    if nc_map is not None:
+        stats["_n"] = tbl.num_rows
+        stats["_nc"] = nc_map
     return json.dumps(stats, separators=(",", ":"))
 
 
@@ -1155,7 +1176,7 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
     }
 
 
-_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==", "in")
+_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==", "in", "is_null", "not_null")
 
 
 def _zone_bound_type(ftype: pa.DataType):
@@ -1348,10 +1369,14 @@ def decode_dataset(
     column.  With ``columns``, the key column must be included (the
     residual filter needs it).
 
-    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == in``,
-    terms AND-ed; ``in`` takes a non-empty tuple/list and prunes when no
-    listed value fits the bounds) prunes CHUNKS by the per-chunk min/max
-    zone maps the encoder
+    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == in
+    is_null not_null``, terms AND-ed; ``in`` takes a non-empty
+    tuple/list and prunes when no listed value fits the bounds;
+    ``is_null``/``not_null`` ignore the value and prune on the recorded
+    per-chunk null counts — an all-null chunk, including one whose
+    generation predates the column under additive evolution, is also
+    skipped for every null-rejecting comparison term) prunes CHUNKS by
+    the per-chunk min/max zone maps the encoder
     records in the manifest (:func:`_chunk_stats` — the parquet
     row-group-statistics analog, orthogonal to key_range's unit
     pruning): a chunk whose recorded bounds cannot satisfy a term is
@@ -1437,7 +1462,24 @@ def decode_dataset(
             # Bounds are typed from the probed schema so integer
             # comparisons stay exact (no double round-trip past 2^53).
             keep = None
+            ncj = F.get_json_object(F.col("stats"), "$._nc")
+            n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
+            has_nc = ncj.isNotNull() & n_total.isNotNull()
             for c, op, v in filters:
+                # null-count pruning (the parquet null-count analog):
+                # a column absent from a recorded _nc map is all-null in
+                # that chunk — including generations that PREDATE the
+                # column under additive evolution
+                nc = F.get_json_object(F.col("stats"), f"$._nc.{c}").cast("long")
+                not_all_null = (~has_nc) | (nc.isNotNull() & (nc < n_total))
+                if op in ("is_null", "not_null"):
+                    if op == "is_null":
+                        term = (~has_nc) | nc.isNull() | (nc > F.lit(0))
+                    else:
+                        term = not_all_null
+                    term = F.col("stats").isNull() | term
+                    keep = term if keep is None else (keep & term)
+                    continue
                 cast_to, conv = _zone_bound_type(probe.field(c).type)
                 vs = [conv(x) for x in v] if op == "in" else [conv(v)]
                 mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
@@ -1473,6 +1515,10 @@ def decode_dataset(
                             member = m if member is None else (member | m)
                         dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
                         term = term & (dvj.isNull() | member)
+                # comparison/equality terms are null-rejecting: an
+                # all-null chunk (evolution: column-predating chunks
+                # included) can never satisfy them
+                term = term & not_all_null
                 term = F.col("stats").isNull() | term
                 keep = term if keep is None else (keep & term)
             enc = enc.where(keep)
@@ -1534,6 +1580,10 @@ def decode_dataset(
             col = F.col(c)
             if op == "in":
                 out = out.where(col.isin(*v))
+            elif op == "is_null":
+                out = out.where(col.isNull())
+            elif op == "not_null":
+                out = out.where(col.isNotNull())
             else:
                 out = out.where(
                     {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
@@ -1813,6 +1863,58 @@ def q_decode_filters_dv(spark, sf_dir: str):
     dec = decode_dataset(spark, out, filters=[("lang", "in", ["de", "eo"])])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_filters_null(spark, sf_dir: str):
+    """Driver-contract query: NULL-COUNT pruning — ``IS NOT NULL`` on a
+    column that is null on a key-contiguous half of the table (nulls
+    clustered by the zero-padded key, so whole chunks are all-null —
+    min/max bounds say nothing about nulls, only the recorded per-chunk
+    null counts can disqualify).  The query raises unless the counts
+    actually pruned chunks, then returns the non-null rows for the
+    oracle's value hash (exactness: chunks MIXING null and non-null rows
+    must survive pruning and re-filter exactly).  Oracle: the same
+    predicate as plain SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_ncq_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .withColumn(
+            "opt_lang",
+            F.when(F.col("doc_id") % 500 < 250, F.lit(None)).otherwise(F.col("lang")),
+        )
+        .select("doc_key", "doc_id", "opt_lang", "n_chars")
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_key", size_cols=("opt_lang",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    # evidence as ONE aggregation row: some chunk is all-null in
+    # opt_lang (nc == _n), i.e. disqualified for IS NOT NULL
+    nc = F.get_json_object(F.col("stats"), "$._nc.opt_lang").cast("long")
+    n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
+    survives = nc.isNotNull() & (nc < n_total)
+    ev = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(survives.cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"null counts pruned nothing ({ev.qualifying}/{ev.total})"
+        )
+    dec = decode_dataset(spark, out, filters=[("opt_lang", "not_null", None)])
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "opt_lang", "n_chars"
     )
 
 

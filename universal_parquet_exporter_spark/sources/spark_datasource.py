@@ -87,6 +87,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -276,6 +278,13 @@ def _terms_from_filters(filters) -> list[tuple[str, str, object]]:
             terms.append((col, "in", tuple(f.value)))
         elif isinstance(f, StringStartsWith):
             terms.append((col, "startswith", f.value))
+        elif isinstance(f, IsNull):
+            terms.append((col, "is_null", None))
+        elif isinstance(f, IsNotNull):
+            # Catalyst pushes IsNotNull beside almost every comparison,
+            # so all-null chunks (evolution: column-predating
+            # generations) prune on any filtered scan
+            terms.append((col, "not_null", None))
     return terms
 
 
@@ -311,6 +320,10 @@ def _normalize_terms(terms, schema: pa.Schema):
     out = []
     for col, op, v in terms:
         if col not in schema.names:
+            continue
+        if op in ("is_null", "not_null"):
+            # value-less terms skip the domain conversion entirely
+            out.append((col, op, None))
             continue
         t = schema.field(col).type
         try:
@@ -357,7 +370,30 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
     dv_map = stats.get("_dv")
     if not isinstance(dv_map, dict):
         dv_map = {}
+    nc_map = stats.get("_nc")
+    n_total = stats.get("_n")
+    have_nc = isinstance(nc_map, dict) and isinstance(n_total, int)
     for col, op, v in terms:
+        # null-count pruning (the parquet null-count analog): a column
+        # absent from a recorded _nc map is all-null in this chunk —
+        # including chunks whose generation PREDATES the column under
+        # additive evolution; comparison/equality/prefix terms are
+        # null-rejecting, so all-null prunes those too
+        if have_nc:
+            nc = nc_map.get(col)
+            all_null = not isinstance(nc, int) or nc >= n_total
+            if op == "is_null":
+                if isinstance(nc, int) and nc == 0:
+                    return False
+                continue
+            if op == "not_null":
+                if all_null:
+                    return False
+                continue
+            if all_null:
+                return False
+        elif op in ("is_null", "not_null"):
+            continue
         # exact distinct-value sets (≤ _STATS_DV_MAX values recorded):
         # equality/IN/prefix prune on MEMBERSHIP — the interleaved-
         # categorical case min/max bounds can never exclude
