@@ -39,6 +39,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_null as _q_decode_filters_null,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_filters_prefix as _q_decode_filters_prefix,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -106,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filters_ts": _q_decode_filters_ts,
         "decode_filters_dv": _q_decode_filters_dv,
         "decode_filters_null": _q_decode_filters_null,
+        "decode_filters_prefix": _q_decode_filters_prefix,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_filtered": _q_compact_filtered,
@@ -610,6 +614,12 @@ def oracle_sql() -> dict[str, str]:
         "decode_filters_null": (
             "SELECT doc_id, lang AS opt_lang, n_chars FROM documents "
             "WHERE doc_id % 500 >= 250"
+        ),
+        # STRING-PREFIX pruning: startswith on the zero-padded key ==
+        # the url-prefix scan shape; '0000012' covers doc_ids 120-129
+        "decode_filters_prefix": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id BETWEEN 120 AND 129"
         ),
         # zone maps survive the compaction rewrite: filtered decode over
         # the re-packed manifest == the plain predicate (keys are

@@ -381,3 +381,69 @@ def test_dv_pruning_through_datasource_reader(spark, outdir):
         spark.read.format("upe_encoded").load(outdir).where("cat = 'de'").count()
     )
     assert got == df.where("cat = 'de'").count()
+
+
+# ---------------------------------------------------------------------------
+# startswith: prefix pruning on bounds and distinct sets
+# ---------------------------------------------------------------------------
+
+
+def test_startswith_prunes_on_key_bounds(spark, outdir):
+    """Prefix scan on the clustered zero-padded key (the url-prefix
+    shape): narrow per-chunk key bounds disqualify chunks outside the
+    prefix range; the residual keeps the result exact."""
+    from pyspark.sql import functions as F
+
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    got = decode_dataset(spark, outdir, filters=[("k", "startswith", "00012")])
+    assert sorted(r.k for r in got.collect()) == [f"000{i}" for i in range(120, 130)]
+    # evidence: one aggregation row, most chunks' bounds exclude it
+    mn = F.get_json_object(F.col("stats"), "$.k[0]")
+    mx = F.get_json_object(F.col("stats"), "$.k[1]")
+    pfx = F.lit("00012")
+    survives = (mx.isNull() | (mx >= pfx)) & (
+        mn.isNull() | (F.substring(mn, 1, 5) <= pfx)
+    )
+    row = (
+        spark.read.parquet(manifest_dir(outdir))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(survives.cast("long")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert 0 < int(row.q) < int(row.total)
+
+
+def test_startswith_prunes_on_distinct_sets(spark, outdir):
+    """'q' sits inside every chunk's [ar..zh] cat bounds, so bounds keep
+    every chunk for prefix 'q' — only the recorded distinct sets can
+    prove no member carries the prefix; a PRESENT prefix stays exact."""
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    got_q = decode_dataset(spark, outdir, filters=[("cat", "startswith", "q")])
+    assert got_q.count() == 0
+    got_e = decode_dataset(spark, outdir, filters=[("cat", "startswith", "e")])
+    assert got_e.count() == df.where("cat LIKE 'e%'").count() > 0
+
+
+def test_startswith_validation(spark, outdir):
+    df = _dv_df(spark, n=100)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    with pytest.raises(ValueError, match="startswith"):
+        decode_dataset(spark, outdir, filters=[("k", "startswith", 5)])

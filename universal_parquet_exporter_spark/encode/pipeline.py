@@ -1176,7 +1176,9 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
     }
 
 
-_FILTER_OPS = ("<", "<=", ">", ">=", "=", "==", "in", "is_null", "not_null")
+_FILTER_OPS = (
+    "<", "<=", ">", ">=", "=", "==", "in", "is_null", "not_null", "startswith"
+)
 
 
 def _zone_bound_type(ftype: pa.DataType):
@@ -1370,8 +1372,11 @@ def decode_dataset(
     residual filter needs it).
 
     ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == in
-    is_null not_null``, terms AND-ed; ``in`` takes a non-empty
-    tuple/list and prunes when no listed value fits the bounds;
+    is_null not_null startswith``, terms AND-ed; ``in`` takes a
+    non-empty tuple/list and prunes when no listed value fits the
+    bounds; ``startswith`` (string columns) prunes when no value in
+    [min, max] can carry the prefix — the url-prefix scan shape —
+    and on distinct-value-set membership when recorded;
     ``is_null``/``not_null`` ignore the value and prune on the recorded
     per-chunk null counts — an all-null chunk, including one whose
     generation predates the column under additive evolution, is also
@@ -1454,6 +1459,16 @@ def decode_dataset(
                 raise ValueError(f"empty IN-list for filter column {c!r}")
             if c not in probe.names:
                 raise ValueError(f"filter column {c!r} not in dataset schema")
+            if op == "startswith" and not (
+                isinstance(_v, str)
+                and (
+                    pa.types.is_string(probe.field(c).type)
+                    or pa.types.is_large_string(probe.field(c).type)
+                )
+            ):
+                raise ValueError(
+                    f"startswith needs a string value on a string column ({c!r})"
+                )
             if columns is not None and c not in columns:
                 raise ValueError(f"filters need column {c!r} in columns (residual filter)")
         if has_stats:
@@ -1486,7 +1501,20 @@ def decode_dataset(
                 mx = F.get_json_object(F.col("stats"), f"$.{c}[1]")
                 if cast_to:
                     mn, mx = mn.cast(cast_to), mx.cast(cast_to)
-                if op in (">", ">="):
+                if op == "startswith":
+                    # every match is >= the prefix itself, and the min's
+                    # length-prefix can't exceed it (the same algebra as
+                    # the DataSource reader's _chunk_keep)
+                    lit = F.lit(vs[0])
+                    term = (mx.isNull() | (mx >= lit)) & (
+                        mn.isNull() | (F.substring(mn, 1, len(vs[0])) <= lit)
+                    )
+                    dv_arr = _dv_array_col(c, probe.field(c).type, cast_to)
+                    if dv_arr is not None:
+                        member = F.exists(dv_arr, lambda x: x.startswith(vs[0]))
+                        dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
+                        term = term & (dvj.isNull() | member)
+                elif op in (">", ">="):
                     lit = F.lit(vs[0])
                     cmpc = mx > lit if op == ">" else mx >= lit
                     term = mx.isNull() | cmpc
@@ -1584,6 +1612,8 @@ def decode_dataset(
                 out = out.where(col.isNull())
             elif op == "not_null":
                 out = out.where(col.isNotNull())
+            elif op == "startswith":
+                out = out.where(col.startswith(v))
             else:
                 out = out.where(
                     {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
@@ -1915,6 +1945,56 @@ def q_decode_filters_null(spark, sf_dir: str):
     dec = decode_dataset(spark, out, filters=[("opt_lang", "not_null", None)])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "opt_lang", "n_chars"
+    )
+
+
+def q_decode_filters_prefix(spark, sf_dir: str):
+    """Driver-contract query: STRING-PREFIX pruning — ``startswith`` on
+    the zero-padded key column (the url-prefix scan shape over a
+    url-keyed Common-Crawl table: keys are clustered, so narrow
+    per-chunk [min, max] key bounds disqualify every chunk outside the
+    prefix's range).  Raises unless the bounds actually pruned chunks,
+    then returns the matching rows for the oracle's value hash.
+    Oracle: the equivalent integer BETWEEN."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_pfx_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .select("doc_key", "doc_id", "lang", "n_chars")
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_key", size_cols=("doc_key",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    # evidence as ONE aggregation row: most chunks' key bounds exclude
+    # the prefix '0000012' (doc_ids 120-129)
+    mn = F.get_json_object(F.col("stats"), "$.doc_key[0]")
+    mx = F.get_json_object(F.col("stats"), "$.doc_key[1]")
+    pfx = F.lit("0000012")
+    survives = (
+        (mx.isNull() | (mx >= pfx))
+        & (mn.isNull() | (F.substring(mn, 1, 7) <= pfx))
+    )
+    ev = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(survives.cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"prefix bounds pruned nothing ({ev.qualifying}/{ev.total})"
+        )
+    dec = decode_dataset(spark, out, filters=[("doc_key", "startswith", "0000012")])
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
     )
 
 
