@@ -42,6 +42,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_prefix as _q_decode_filters_prefix,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_stats_agg as _q_stats_agg,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_embeddings as _q_encode_roundtrip_embeddings,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -110,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filters_dv": _q_decode_filters_dv,
         "decode_filters_null": _q_decode_filters_null,
         "decode_filters_prefix": _q_decode_filters_prefix,
+        "stats_agg": _q_stats_agg,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_filtered": _q_compact_filtered,
@@ -620,6 +624,14 @@ def oracle_sql() -> dict[str, str]:
         "decode_filters_prefix": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id BETWEEN 120 AND 129"
+        ),
+        # metadata-only MIN/MAX/COUNT (the reference's MIN/MAX(order_date)
+        # diagnostic shape) must EQUAL the oracle's full-scan aggregate
+        "stats_agg": (
+            "SELECT CAST(MIN(n_chars) AS BIGINT) AS mn, "
+            "CAST(MAX(n_chars) AS BIGINT) AS mx, "
+            "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "
+            "COUNT(*) AS n_rows FROM documents"
         ),
         # zone maps survive the compaction rewrite: filtered decode over
         # the re-packed manifest == the plain predicate (keys are

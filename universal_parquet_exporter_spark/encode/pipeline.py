@@ -1621,6 +1621,140 @@ def decode_dataset(
     return out
 
 
+def dataset_column_stats(spark, output_dir: str, columns: list[str] | None = None):
+    """Per-column statistics answered from manifest METADATA — the
+    ``MIN/MAX(col)`` diagnostic shape (the reference's only aggregate
+    diagnostic is ``MIN/MAX(order_date)``,
+    /root/reference/examples/advanced_integration_example.py:168-169)
+    without scanning or decoding a single payload chunk: one Spark
+    aggregation over the committed manifest plus the usual meta-only
+    schema probe (chunk header bytes, never chunk payload).
+
+    Returns a DataFrame ``(column, min, max, min_exact, max_exact,
+    null_count, row_count)``:
+
+    - ``row_count`` — exact always (sum of committed slice rows);
+    - ``null_count`` — exact when every chunk records null counts
+      (``_nc``), else NULL (pre-null-count data);
+    - ``min``/``max`` — rendered in the zone-map domain as strings
+      (epoch-µs ints for timestamps, epoch-day ints for dates, exact
+      decimal strings), aggregated in the column's own typed domain
+      (never lexicographic for numerics);
+    - ``min_exact``/``max_exact`` — True when every chunk either
+      records that bound or is provably all-null for the column (SQL
+      MIN/MAX ignore nulls, so all-null chunks cannot move the answer),
+      and, for strings, no recorded minimum sits at the truncation cap
+      (a capped minimum may be a truncated prefix — a valid lower
+      bound, not the exact minimum).  Long-string columns and
+      NaN-bearing float chunks record no bounds, so they surface as
+      inexact rather than wrong.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(manifest_dir(output_dir))
+    if "stats" not in raw.columns:
+        raise ValueError(f"dataset at {output_dir} predates zone-map statistics")
+    committed_keys = (
+        spark.read.parquet(os.path.join(output_dir, "lineage"))
+        .where("status = 'ok'")
+        .select("unit", "run_id")
+    )
+    enc = raw.join(F.broadcast(committed_keys), ["unit", "run_id"], "left_semi")
+    probe_rows = _probe_rows(enc)
+    if not probe_rows:
+        raise ValueError("empty encoded dataset")
+    probe = _union_probe_schema(
+        os.path.join(output_dir, "payload"), [(r.file, r.offset) for r in probe_rows]
+    )
+    cols = list(columns) if columns else [f.name for f in probe]
+    missing = [c for c in cols if c not in probe.names]
+    if missing:
+        raise ValueError(f"columns not in dataset: {missing}")
+
+    n_rows_total = enc.agg(F.sum("n_rows")).collect()[0][0]
+    # slices of one chunk share its stats: dedupe to chunks first
+    chunks = enc.groupBy("file", "offset").agg(F.first("stats").alias("stats"))
+    n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
+    ncmap = F.get_json_object(F.col("stats"), "$._nc")
+    aggs = [F.count(F.lit(1)).alias("__chunks")]
+    for c in cols:
+        ftype = probe.field(c).type
+        cast_to, _ = _zone_bound_type(ftype)
+        is_str = cast_to is None
+        mnj = F.get_json_object(F.col("stats"), f"$.{c}[0]")
+        mxj = F.get_json_object(F.col("stats"), f"$.{c}[1]")
+        mn = mnj.cast(cast_to) if cast_to else mnj
+        mx = mxj.cast(cast_to) if cast_to else mxj
+        ncj = F.get_json_object(F.col("stats"), f"$._nc.{c}").cast("long")
+        # recorded-null-count per chunk: absent key under a recorded map
+        # means the column is absent from the chunk (all-null under
+        # additive evolution); no map at all means unknown
+        nc_eff = F.when(
+            ncmap.isNull() | n_total.isNull(), F.lit(None).cast("long")
+        ).otherwise(F.coalesce(ncj, n_total))
+        all_null = (
+            ncmap.isNotNull()
+            & n_total.isNotNull()
+            & (ncj.isNull() | (ncj >= n_total))
+        )
+        aggs += [
+            F.min(mn).cast("string").alias(f"{c}\x1fmn"),
+            F.max(mx).cast("string").alias(f"{c}\x1fmx"),
+            F.sum((mn.isNull() & ~all_null).cast("long")).alias(f"{c}\x1fmiss_mn"),
+            F.sum((mx.isNull() & ~all_null).cast("long")).alias(f"{c}\x1fmiss_mx"),
+            F.sum(nc_eff).alias(f"{c}\x1fnc"),
+            F.sum(nc_eff.isNull().cast("long")).alias(f"{c}\x1fnc_unknown"),
+            F.max((F.length(mnj) >= _STATS_STR_MAX).cast("long")).alias(f"{c}\x1fat_cap")
+            if is_str
+            else F.max(F.lit(0)).alias(f"{c}\x1fat_cap"),
+        ]
+    row = chunks.agg(*aggs).collect()[0].asDict()
+
+    out_rows = []
+    for c in cols:
+        g = lambda k: row[f"{c}\x1f{k}"]
+        min_exact = g("miss_mn") == 0 and not (g("at_cap") or 0)
+        max_exact = g("miss_mx") == 0
+        null_count = None if g("nc_unknown") else (g("nc") if g("nc") is not None else 0)
+        out_rows.append((c, g("mn"), g("mx"), min_exact, max_exact, null_count, n_rows_total))
+    return spark.createDataFrame(
+        out_rows,
+        "column string, min string, max string, min_exact boolean, "
+        "max_exact boolean, null_count long, row_count long",
+    )
+
+
+def q_stats_agg(spark, sf_dir: str):
+    """Driver-contract query: metadata-only MIN/MAX/COUNT — the
+    reference's ``MIN/MAX(order_date)`` diagnostic answered from the
+    manifest without decoding any payload chunk
+    (:func:`dataset_column_stats`).  The value hash certifies the
+    metadata-derived numbers EQUAL the oracle's full-scan aggregate;
+    the query raises unless the engine reports them exact."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_stat_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .select("doc_key", "doc_id", "lang", "n_chars")
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_key", size_cols=("doc_key",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    st = dataset_column_stats(spark, out, columns=["n_chars"]).collect()[0]
+    if not (st.min_exact and st.max_exact and st.null_count is not None):
+        raise RuntimeError(f"metadata stats not exact: {st}")
+    return spark.createDataFrame(
+        [(int(st.min), int(st.max), int(st.null_count), int(st.row_count))],
+        "mn long, mx long, nulls long, n_rows long",
+    )
+
+
 def _timestamps_to_us(tbl: pa.Table) -> pa.Table:
     """Spark's INT96 parquet timestamps read back as ns; Spark's Arrow
     boundary only accepts µs (Spark timestamp semantics).  Lossless here —
