@@ -110,3 +110,95 @@ def test_stats_column_validation(spark, outdir):
     _encode(spark, df, outdir)
     with pytest.raises(ValueError, match="columns not in dataset"):
         dataset_column_stats(spark, outdir, columns=["nope"])
+
+
+def test_dotted_column_reports_unknown_not_fabricated(spark, outdir):
+    """A column name that would break the get_json_object path must
+    surface unknown stats — never a failed lookup misread as all-null
+    (which would fabricate null_count == row_count as exact).  Dotted
+    columns reach datasets through the upe_encoded sink (pure Arrow);
+    the DataFrame encode path rejects them loudly (mapInArrow
+    limitation)."""
+    from pyspark.sql import functions as F
+
+    from universal_parquet_exporter_spark.encode.pipeline import (
+        encode_job,
+        load_or_build_plan,
+    )
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    sds.register(spark)
+    df = spark.range(200).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.lit("de").alias("meta.lang"),
+        F.col("id").cast("long").alias("n"),
+    )
+    cfg = EncodeJobConfig(output_dir=outdir, key_col="k", size_cols=("meta.lang",))
+    with pytest.raises(ValueError, match="mapInArrow limitation"):
+        encode_job(spark, df, cfg)
+    load_or_build_plan(df, cfg)
+    df.write.format("upe_encoded").option("key_col", "k").mode("append").save(outdir)
+    st = {r.column: r for r in dataset_column_stats(spark, outdir).collect()}
+    d = st["meta.lang"]
+    assert d.min is None and d.max is None
+    assert not d.min_exact and not d.max_exact
+    assert d.null_count is None and d.row_count == 200
+    # plain columns beside it stay exact
+    assert int(st["n"].max) == 199 and st["n"].min_exact
+
+
+def test_partial_chunk_coverage_poisons_exactness(spark, outdir):
+    """A chunk whose committed slices cover fewer rows than its recorded
+    _n (compaction superseding part of a multi-unit chunk) must flip
+    every exactness flag — its whole-chunk statistics describe dead
+    rows too."""
+    import os as _os
+    from collections import Counter
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from universal_parquet_exporter_spark.encode.pipeline import manifest_dir
+
+    df = _df(spark)
+    # tiny units + large chunks => chunks spanning several unit-slices
+    encode_job(
+        spark,
+        df,
+        EncodeJobConfig(
+            output_dir=outdir, key_col="k", size_cols=("text",),
+            target_unit_bytes=512, chunk_rows=256,
+        ),
+    )
+    base = {r.column: r for r in dataset_column_stats(spark, outdir).collect()}
+    assert base["n"].min_exact and base["n"].null_count == 0
+
+    # surgically drop one slice of a multi-slice chunk from the manifest
+    # (the state shape compaction leaves a shared multi-unit chunk in)
+    mdir = manifest_dir(outdir)
+    dropped = False
+    for f in sorted(_os.listdir(mdir)):
+        p = _os.path.join(mdir, f)
+        if f.startswith("."):  # stale Hadoop checksums reject rewrites
+            _os.unlink(p)
+            continue
+        if not f.endswith(".parquet") or dropped:
+            continue
+        t = _pq.read_table(p)
+        keys = list(zip(t.column("file").to_pylist(), t.column("offset").to_pylist()))
+        victim = next((k for k, n in Counter(keys).items() if n >= 2), None)
+        if victim is None:
+            continue
+        drop_idx = keys.index(victim)
+        keep = [i for i in range(t.num_rows) if i != drop_idx]
+        _pq.write_table(t.take(_pa.array(keep)), p)
+        dropped = True
+    assert dropped, "no multi-slice chunk in the fixture"
+    for f in list(_os.listdir(mdir)):
+        if f.startswith("."):
+            _os.unlink(_os.path.join(mdir, f))
+
+    st = {r.column: r for r in dataset_column_stats(spark, outdir).collect()}
+    assert not st["n"].min_exact and not st["n"].max_exact
+    assert st["n"].null_count is None
+    assert st["n"].row_count < base["n"].row_count

@@ -251,3 +251,30 @@ def test_datasource_null_pushdown_prunes(spark, outdir):
     assert got.count() == df.where("opt IS NOT NULL").count()
     got_n = spark.read.format("upe_encoded").load(outdir).where("opt IS NULL")
     assert got_n.count() == df.where("opt IS NULL").count()
+
+
+def test_dotted_column_filters_never_misprune(spark, outdir):
+    """A dotted column name breaks get_json_object paths: the failed
+    _nc lookup must NOT read as all-null (which pruned every chunk and
+    returned 0 rows).  Manifest pruning is skipped for such columns;
+    the exact residual still applies."""
+    from pyspark.sql import functions as F
+
+    from universal_parquet_exporter_spark.encode.pipeline import load_or_build_plan
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    sds.register(spark)
+    n = 300
+    df = spark.range(n).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit("de")).otherwise(F.lit("en")).alias("meta.lang"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    load_or_build_plan(
+        df, EncodeJobConfig(output_dir=outdir, key_col="k", size_cols=("text",))
+    )
+    df.write.format("upe_encoded").option("key_col", "k").mode("append").save(outdir)
+    got = decode_dataset(spark, outdir, filters=[("meta.lang", "=", "de")])
+    assert got.count() == n // 2
+    got_nn = decode_dataset(spark, outdir, filters=[("meta.lang", "not_null", None)])
+    assert got_nn.count() == n

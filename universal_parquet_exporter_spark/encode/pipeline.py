@@ -233,11 +233,11 @@ def _dv_values(col, t) -> list | None:
     exceeds the length cap.  Sorted — stats stay byte-deterministic."""
     import pyarrow.compute as pc
 
-    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if len(flat) > _STATS_DV_PROBE:
-        if pc.count_distinct(flat.slice(0, _STATS_DV_PROBE)).as_py() > _STATS_DV_MAX:
+    # pc.unique/count_distinct take ChunkedArray directly — no copy
+    if len(col) > _STATS_DV_PROBE:
+        if pc.count_distinct(col.slice(0, _STATS_DV_PROBE)).as_py() > _STATS_DV_MAX:
             return None
-    u = pc.unique(flat).drop_null()
+    u = pc.unique(col).drop_null()
     if len(u) > _STATS_DV_MAX or len(u) == 0:
         return None
     if pa.types.is_timestamp(t):
@@ -978,6 +978,17 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
     For parquet-backed inputs prefer :func:`encode_parquet_job`: this
     DataFrame path pays a JVM->Python Arrow transfer of every raw row,
     which measurably anti-scales on fault-expensive kernels."""
+    bad = [c for c in df.columns if "." in c or "`" in c]
+    if bad:
+        # Spark's mapInArrow resolves each input column by name and
+        # parses dots as struct paths — fail loudly instead of
+        # surfacing its cryptic resolution error.  The upe_encoded sink
+        # (pure Arrow, no name resolution) handles such columns fine.
+        raise ValueError(
+            f"column names with '.' or '`' are unsupported by the DataFrame "
+            f"encode path (Spark mapInArrow limitation): {bad}; rename them "
+            "or write via df.write.format('upe_encoded')"
+        )
     plan = load_or_build_plan(df, cfg)
     done = (
         completed_units(spark, cfg.output_dir)
@@ -1179,6 +1190,30 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
 _FILTER_OPS = (
     "<", "<=", ">", ">=", "=", "==", "in", "is_null", "not_null", "startswith"
 )
+
+
+_JSON_PATH_SAFE = None  # compiled lazily (module import stays light)
+
+
+def _exact_col(name: str):
+    """Column reference resolving the EXACT name — backtick-quoted so a
+    dotted name ("meta.lang") is never parsed as a struct path."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _json_path_safe(name: str) -> bool:
+    """True when ``name`` survives a ``get_json_object`` path segment
+    verbatim (``$.<name>`` / ``$._nc.<name>``).  Dots, brackets,
+    quotes, or other punctuation would be parsed as path STRUCTURE — a
+    failed lookup must never be mistaken for recorded data."""
+    global _JSON_PATH_SAFE
+    if _JSON_PATH_SAFE is None:
+        import re
+
+        _JSON_PATH_SAFE = re.compile(r"^[A-Za-z0-9_]+$")
+    return bool(_JSON_PATH_SAFE.match(name))
 
 
 def _zone_bound_type(ftype: pa.DataType):
@@ -1398,22 +1433,8 @@ def decode_dataset(
     schema-conflict error rather than casting silently."""
     from pyspark.sql import functions as F
 
-    data_dir = manifest_dir(output_dir)
     payload_dir = os.path.join(output_dir, "payload")
-    raw_manifest = spark.read.parquet(data_dir)
-    has_stats = "stats" in raw_manifest.columns
-    sel = ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "codecs"]
-    if has_stats:
-        sel.append("stats")
-    committed = (
-        spark.read.parquet(os.path.join(output_dir, "lineage"))
-        .where("status = 'ok'")
-        .select("unit", "run_id")
-    )
-    enc = (
-        raw_manifest.select(*sel)
-        .join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
-    )
+    enc, has_stats = _committed_manifest_df(spark, output_dir)
     # committed-but-unpruned view, captured BEFORE any key-range unit
     # filter: the schema probe must (a) survive a range that prunes every
     # unit (typed empty result) and (b) never land on an orphan manifest
@@ -1481,6 +1502,12 @@ def decode_dataset(
             n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
             has_nc = ncj.isNotNull() & n_total.isNotNull()
             for c, op, v in filters:
+                if not _json_path_safe(c):
+                    # a dotted/bracketed name breaks the get_json_object
+                    # path and a failed _nc lookup would read as
+                    # all-null and WRONGLY prune — skip manifest pruning
+                    # for this column (the exact residual still applies)
+                    continue
                 # null-count pruning (the parquet null-count analog):
                 # a column absent from a recorded _nc map is all-null in
                 # that chunk — including generations that PREDATE the
@@ -1549,7 +1576,8 @@ def decode_dataset(
                 term = term & not_all_null
                 term = F.col("stats").isNull() | term
                 keep = term if keep is None else (keep & term)
-            enc = enc.where(keep)
+            if keep is not None:
+                enc = enc.where(keep)
 
     def decode(iterator):
         # several manifest rows (unit-slices) share one chunk; the input
@@ -1599,13 +1627,14 @@ def decode_dataset(
         # conservative prefix-range superset)
         lo, hi = key_range
         if lo is not None:
-            out = out.where(F.col(key_col) >= lo)
+            out = out.where(_exact_col(key_col) >= lo)
         if hi is not None:
-            out = out.where(F.col(key_col) <= hi)
+            out = out.where(_exact_col(key_col) <= hi)
     if filters:
-        # exact residual for every term (chunk pruning is conservative)
+        # exact residual for every term (chunk pruning is conservative;
+        # _exact_col keeps a dotted name from parsing as a struct path)
         for c, op, v in filters:
-            col = F.col(c)
+            col = _exact_col(c)
             if op == "in":
                 out = out.where(col.isin(*v))
             elif op == "is_null":
@@ -1619,6 +1648,28 @@ def decode_dataset(
                     {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
                 )
     return out
+
+
+def _committed_manifest_df(spark, output_dir: str):
+    """``(enc, has_stats)`` — the committed manifest view shared by
+    :func:`decode_dataset` and :func:`dataset_column_stats`: manifest
+    fragment rows semi-joined to lineage ``status='ok'`` on
+    ``(unit, run_id)``, so orphans from a run that crashed between its
+    data and lineage commits are invisible to every reader."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(manifest_dir(output_dir))
+    has_stats = "stats" in raw.columns
+    sel = ["unit", "run_id", "file", "offset", "length", "row_off", "n_rows", "codecs"]
+    if has_stats:
+        sel.append("stats")
+    committed = (
+        spark.read.parquet(os.path.join(output_dir, "lineage"))
+        .where("status = 'ok'")
+        .select("unit", "run_id")
+    )
+    enc = raw.select(*sel).join(F.broadcast(committed), ["unit", "run_id"], "left_semi")
+    return enc, has_stats
 
 
 def dataset_column_stats(spark, output_dir: str, columns: list[str] | None = None):
@@ -1648,18 +1699,20 @@ def dataset_column_stats(spark, output_dir: str, columns: list[str] | None = Non
       bound, not the exact minimum).  Long-string columns and
       NaN-bearing float chunks record no bounds, so they surface as
       inexact rather than wrong.
+
+    Two further never-wrong guards: a chunk whose committed slices
+    cover FEWER rows than its recorded ``_n`` (compaction can supersede
+    a subset of a multi-unit chunk) poisons exactness for every column
+    — its whole-chunk statistics describe dead rows too — and a column
+    whose name would break the ``get_json_object`` path (dots,
+    brackets) reports unknown bounds/counts instead of misreading a
+    failed lookup as data.
     """
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(manifest_dir(output_dir))
-    if "stats" not in raw.columns:
+    enc, has_stats = _committed_manifest_df(spark, output_dir)
+    if not has_stats:
         raise ValueError(f"dataset at {output_dir} predates zone-map statistics")
-    committed_keys = (
-        spark.read.parquet(os.path.join(output_dir, "lineage"))
-        .where("status = 'ok'")
-        .select("unit", "run_id")
-    )
-    enc = raw.join(F.broadcast(committed_keys), ["unit", "run_id"], "left_semi")
     probe_rows = _probe_rows(enc)
     if not probe_rows:
         raise ValueError("empty encoded dataset")
@@ -1672,12 +1725,20 @@ def dataset_column_stats(spark, output_dir: str, columns: list[str] | None = Non
         raise ValueError(f"columns not in dataset: {missing}")
 
     n_rows_total = enc.agg(F.sum("n_rows")).collect()[0][0]
-    # slices of one chunk share its stats: dedupe to chunks first
-    chunks = enc.groupBy("file", "offset").agg(F.first("stats").alias("stats"))
+    # slices of one chunk share its stats: dedupe to chunks first,
+    # keeping the LIVE row coverage per chunk — compaction can supersede
+    # a subset of a multi-unit chunk's slices, after which the chunk's
+    # whole-chunk _n/_nc/bounds describe MORE rows than are committed
+    # through it, so a partially-covered chunk poisons exactness
+    chunks = enc.groupBy("file", "offset").agg(
+        F.first("stats").alias("stats"), F.sum("n_rows").alias("covered")
+    )
     n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
     ncmap = F.get_json_object(F.col("stats"), "$._nc")
-    aggs = [F.count(F.lit(1)).alias("__chunks")]
-    for c in cols:
+    partial = n_total.isNull() | (F.col("covered") < n_total)
+    aggs = [F.sum(partial.cast("long")).alias("\x1fpartial")]
+    safe_cols = [c for c in cols if _json_path_safe(c)]
+    for c in safe_cols:
         ftype = probe.field(c).type
         cast_to, _ = _zone_bound_type(ftype)
         is_str = cast_to is None
@@ -1709,13 +1770,23 @@ def dataset_column_stats(spark, output_dir: str, columns: list[str] | None = Non
             else F.max(F.lit(0)).alias(f"{c}\x1fat_cap"),
         ]
     row = chunks.agg(*aggs).collect()[0].asDict()
+    any_partial = bool(row["\x1fpartial"])
 
     out_rows = []
     for c in cols:
+        if c not in safe_cols:
+            # a dotted/bracketed name breaks the get_json_object path —
+            # surface unknown, never fabricated-exact
+            out_rows.append((c, None, None, False, False, None, n_rows_total))
+            continue
         g = lambda k: row[f"{c}\x1f{k}"]
-        min_exact = g("miss_mn") == 0 and not (g("at_cap") or 0)
-        max_exact = g("miss_mx") == 0
-        null_count = None if g("nc_unknown") else (g("nc") if g("nc") is not None else 0)
+        min_exact = g("miss_mn") == 0 and not (g("at_cap") or 0) and not any_partial
+        max_exact = g("miss_mx") == 0 and not any_partial
+        null_count = (
+            None
+            if (g("nc_unknown") or any_partial)
+            else (g("nc") if g("nc") is not None else 0)
+        )
         out_rows.append((c, g("mn"), g("mx"), min_exact, max_exact, null_count, n_rows_total))
     return spark.createDataFrame(
         out_rows,
@@ -1796,10 +1867,14 @@ def _ddl_type(t: pa.DataType) -> str:
 
 
 def _arrow_to_ddl(schema: pa.Schema, columns: list[str] | None) -> str:
+    def q(name: str) -> str:
+        # backtick-quote so dotted names parse as one identifier
+        return "`" + name.replace("`", "``") + "`"
+
     if columns:
         # requested order — must match deserialize_chunk's pruned order
-        return ", ".join(f"{c} {_ddl_type(schema.field(c).type)}" for c in columns)
-    return ", ".join(f"{f.name} {_ddl_type(f.type)}" for f in schema)
+        return ", ".join(f"{q(c)} {_ddl_type(schema.field(c).type)}" for c in columns)
+    return ", ".join(f"{q(f.name)} {_ddl_type(f.type)}" for f in schema)
 
 
 def _normalize_batch(batch: pa.RecordBatch) -> pa.RecordBatch:

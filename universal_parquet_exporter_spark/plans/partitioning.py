@@ -71,9 +71,14 @@ def plan_encode(
     if total_rows == 0:
         return EncodePlan(key_col, [], [1])
     fraction = min(1.0, sample_rows / total_rows)
+    def exact(name):
+        # backtick-quote so a dotted name ("meta.lang") resolves as the
+        # EXACT column, never as a struct path
+        return F.col("`" + name.replace("`", "``") + "`")
+
     size_expr = None
     for c in size_cols:
-        e = F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")
+        e = F.coalesce(F.length(exact(c)), F.lit(0)).cast("long")
         size_expr = e if size_expr is None else size_expr + e
     if size_expr is None:
         # no variable-width proxy columns (e.g. an embeddings table):
@@ -81,7 +86,7 @@ def plan_encode(
         size_expr = F.lit(8).cast("long")
     sample = (
         df.sample(fraction=fraction, seed=seed)
-        .select(F.col(key_col).alias("k"), size_expr.alias("sz"))
+        .select(exact(key_col).alias("k"), size_expr.alias("sz"))
         .toPandas()
     )
     return plan_from_sample(sample, total_rows, key_col, target_bytes, hot_factor)

@@ -402,8 +402,6 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
             if schema is not None and col in schema.names and pa.types.is_decimal(
                 schema.field(col).type
             ):
-                from decimal import Decimal
-
                 try:
                     dv = [Decimal(str(x)) for x in dv]
                 except ArithmeticError:
