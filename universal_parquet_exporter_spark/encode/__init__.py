@@ -21,6 +21,7 @@ from .container import deserialize_chunk, serialize_chunk
 from .maintenance import vacuum
 from .pipeline import (
     EncodeJobConfig,
+    dataset_column_stats,
     decode_dataset,
     encode_job,
     encode_parquet_job,
@@ -35,6 +36,7 @@ __all__ = [
     "encode_job",
     "encode_parquet_job",
     "decode_dataset",
+    "dataset_column_stats",
     "vacuum",
     "compact",
 ]
