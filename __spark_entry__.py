@@ -42,6 +42,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_prefix as _q_decode_filters_prefix,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_filters_ne as _q_decode_filters_ne,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_stats_agg as _q_stats_agg,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -113,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filters_dv": _q_decode_filters_dv,
         "decode_filters_null": _q_decode_filters_null,
         "decode_filters_prefix": _q_decode_filters_prefix,
+        "decode_filters_ne": _q_decode_filters_ne,
         "stats_agg": _q_stats_agg,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -624,6 +628,16 @@ def oracle_sql() -> dict[str, str]:
         "decode_filters_prefix": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id BETWEEN 120 AND 129"
+        ),
+        # INEQUALITY pruning: != over a categorical constant on
+        # key-contiguous runs — only the exact distinct-value sets can
+        # prove an all-'en' chunk matches nothing (bounds never can);
+        # mixed chunks re-filter exactly via the residual
+        "decode_filters_ne": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 500 < 250 THEN 'en' ELSE lang END AS cat, "
+            "n_chars FROM documents "
+            "WHERE (CASE WHEN doc_id % 500 < 250 THEN 'en' ELSE lang END) <> 'en'"
         ),
         # metadata-only MIN/MAX/COUNT (the reference's MIN/MAX(order_date)
         # diagnostic shape) must EQUAL the oracle's full-scan aggregate

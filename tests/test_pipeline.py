@@ -502,7 +502,11 @@ def test_decode_filters_zone_map_pruning(spark, outdir):
     with pytest.raises(ValueError, match="in columns"):
         decode_dataset(spark, outdir, columns=["url"], filters=[("n", "==", 7)])
     with pytest.raises(ValueError, match="filter op"):
-        decode_dataset(spark, outdir, filters=[("n", "!=", 7)])
+        decode_dataset(spark, outdir, filters=[("n", "~", 7)])
+    # != is supported (r5): exact through the residual even where no
+    # distinct set can prune (n is high-cardinality)
+    ne = decode_dataset(spark, outdir, filters=[("n", "!=", 7)])
+    assert ne.count() == df.count() - 1
     with pytest.raises(ValueError, match="not in dataset"):
         decode_dataset(spark, outdir, filters=[("nope", ">", 1)])
 

@@ -447,3 +447,147 @@ def test_startswith_validation(spark, outdir):
     encode_job(spark, df, cfg)
     with pytest.raises(ValueError, match="startswith"):
         decode_dataset(spark, outdir, filters=[("k", "startswith", 5)])
+
+
+# ---------------------------------------------------------------------------
+# inequality (!= / not_in): pruning only the distinct sets can prove
+# ---------------------------------------------------------------------------
+
+
+def _ne_df(spark, n=600):
+    """Clustered keys with a categorical that is CONSTANT ('en') over the
+    first half of the key order and varied over the second: the all-'en'
+    chunks record dv={en}, so `cat != 'en'` can prove they match nothing
+    — the boilerplate-language-strip shape (drop the dominant lang)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.when(F.col("id") < n // 2, F.lit("en"))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("de"), F.lit("fr"), F.lit("zh")),
+                (F.col("id") % 3 + 1).cast("int"),
+            )
+        )
+        .alias("cat"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_ne_prunes_constant_chunks(spark, outdir):
+    """`!=` prunes chunks whose exact value set is a subset of the
+    rejected values; the residual keeps the result exact."""
+    from pyspark.sql import functions as F
+
+    df = _ne_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    # manifest evidence (single aggregation row): the first-half chunks
+    # record dv == ['en'] exactly, and a chunk with any OTHER value keeps
+    dvj = F.get_json_object(F.col("stats"), "$._dv.cat")
+    survivor = F.exists(
+        F.from_json(dvj, "array<string>"), lambda x: x != F.lit("en")
+    )
+    row = (
+        spark.read.parquet(manifest_dir(outdir))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((dvj.isNull() | survivor).cast("long")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    assert 0 < int(row.kept) < int(row.total), (
+        f"!= pruned nothing or everything ({row.kept}/{row.total})"
+    )
+
+    got = decode_dataset(spark, outdir, filters=[("cat", "!=", "en")])
+    exp = df.where("cat != 'en'")
+    assert got.count() == exp.count() > 0
+    assert sorted(r.k for r in got.select("k").collect()) == sorted(
+        r.k for r in exp.select("k").collect()
+    )
+    # <> is an alias; a value present everywhere keeps every chunk exact
+    assert (
+        decode_dataset(spark, outdir, filters=[("cat", "<>", "de")]).count()
+        == df.where("cat != 'de'").count()
+    )
+
+
+def test_not_in_prunes_when_whole_set_rejected(spark, outdir):
+    df = _ne_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    got = decode_dataset(spark, outdir, filters=[("cat", "not_in", ["en", "de"])])
+    assert got.count() == df.where("cat NOT IN ('en', 'de')").count() > 0
+    # rejecting every value the dataset holds decodes nothing
+    none = decode_dataset(
+        spark, outdir, filters=[("cat", "not_in", ["en", "de", "fr", "zh"])]
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="NOT_IN"):
+        decode_dataset(spark, outdir, filters=[("cat", "not_in", [])])
+
+
+def test_ne_null_semantics_and_all_null_chunks(spark, outdir):
+    """SQL `col != v` rejects nulls; chunks that are ALL null prune for
+    any inequality term through the null-count stats."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(600).select(
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("k"),
+        F.when(F.col("id") < 300, F.lit(None).cast("string"))
+        .otherwise(F.lit("de"))
+        .alias("cat"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    got = decode_dataset(spark, outdir, filters=[("cat", "!=", "en")])
+    assert got.count() == df.where("cat != 'en'").count() == 300
+
+
+def test_ne_pushdown_through_datasource_reader(spark, outdir):
+    """Catalyst pushes `cat != 'en'` as Not(EqualTo) and NOT IN as
+    Not(In); the reader prunes the all-'en' chunks and stays exact."""
+    from pyspark.sql.datasource import EqualTo, In, Not
+
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    df = _ne_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    sds.register(spark)
+
+    def kept(filters):
+        r = sds._EncodedPushdownReader({"path": outdir})
+        r.pushFilters(filters)
+        return sum(len(p.chunks) for p in r.partitions())
+
+    full = kept([])
+    ne = kept([Not(EqualTo(("cat",), "en"))])
+    nin = kept([Not(In(("cat",), ("en", "de", "fr", "zh")))])
+    assert 0 < ne < full
+    assert nin == 0
+    got = (
+        spark.read.format("upe_encoded").load(outdir).where("cat != 'en'").count()
+    )
+    assert got == df.where("cat != 'en'").count() > 0
+    got_nin = (
+        spark.read.format("upe_encoded").load(outdir)
+        .where("cat NOT IN ('en', 'de')").count()
+    )
+    assert got_nin == df.where("cat NOT IN ('en', 'de')").count() > 0

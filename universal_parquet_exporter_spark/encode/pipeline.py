@@ -1188,7 +1188,8 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
 
 
 _FILTER_OPS = (
-    "<", "<=", ">", ">=", "=", "==", "in", "is_null", "not_null", "startswith"
+    "<", "<=", ">", ">=", "=", "==", "!=", "<>", "in", "not_in",
+    "is_null", "not_null", "startswith",
 )
 
 
@@ -1406,10 +1407,14 @@ def decode_dataset(
     column.  With ``columns``, the key column must be included (the
     residual filter needs it).
 
-    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == in
-    is_null not_null startswith``, terms AND-ed; ``in`` takes a
-    non-empty tuple/list and prunes when no listed value fits the
-    bounds; ``startswith`` (string columns) prunes when no value in
+    ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == != <>
+    in not_in is_null not_null startswith``, terms AND-ed; ``in`` /
+    ``not_in`` take a non-empty tuple/list; ``in`` prunes when no
+    listed value fits the bounds; ``!=``/``not_in`` prune only through
+    the distinct-value sets — a chunk whose recorded (exact, non-null)
+    value set is a SUBSET of the rejected values matches nothing —
+    plus the all-null rejection every comparison gets, because bounds
+    can never prove inequality; ``startswith`` (string columns) prunes when no value in
     [min, max] can carry the prefix — the url-prefix scan shape —
     and on distinct-value-set membership when recorded;
     ``is_null``/``not_null`` ignore the value and prune on the recorded
@@ -1476,8 +1481,8 @@ def decode_dataset(
         for c, op, _v in filters:
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
-            if op == "in" and not _v:
-                raise ValueError(f"empty IN-list for filter column {c!r}")
+            if op in ("in", "not_in") and not _v:
+                raise ValueError(f"empty {op.upper()}-list for filter column {c!r}")
             if c not in probe.names:
                 raise ValueError(f"filter column {c!r} not in dataset schema")
             if op == "startswith" and not (
@@ -1523,7 +1528,7 @@ def decode_dataset(
                     keep = term if keep is None else (keep & term)
                     continue
                 cast_to, conv = _zone_bound_type(probe.field(c).type)
-                vs = [conv(x) for x in v] if op == "in" else [conv(v)]
+                vs = [conv(x) for x in v] if op in ("in", "not_in") else [conv(v)]
                 mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
                 mx = F.get_json_object(F.col("stats"), f"$.{c}[1]")
                 if cast_to:
@@ -1549,6 +1554,37 @@ def decode_dataset(
                     lit = F.lit(vs[0])
                     cmpc = mn < lit if op == "<" else mn <= lit
                     term = mn.isNull() | cmpc
+                elif op in ("!=", "<>", "not_in"):
+                    # bounds can never prove inequality (the mn==mx==v
+                    # constant chunk records dv={v} anyway), so prune
+                    # purely on the distinct-value set: the chunk matches
+                    # nothing when every recorded non-null value is
+                    # rejected.  Absent set → keep; all-null rejection
+                    # comes from the shared null-rejecting tail below.
+                    term = F.lit(True)
+                    dv_arr = _dv_array_col(c, probe.field(c).type, cast_to)
+                    if dv_arr is not None:
+                        # factory, not default-args: F.exists introspects
+                        # the lambda's arity and passes one Column per
+                        # PARAMETER, so extra params would become lambda
+                        # variables
+                        def _make_survives(_vs, _cast):
+                            def _survives(e):
+                                t = None
+                                for x in _vs:
+                                    litx = F.lit(x)
+                                    if _cast and _cast.startswith("decimal"):
+                                        litx = litx.cast(_cast)
+                                    cmpx = e != litx
+                                    t = cmpx if t is None else (t & cmpx)
+                                return t
+
+                            return _survives
+
+                        dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
+                        term = dvj.isNull() | F.exists(
+                            dv_arr, _make_survives(vs, cast_to)
+                        )
                 else:  # = / == / in: any listed value inside [mn, mx]
                     term = None
                     for x in vs:
@@ -1637,6 +1673,12 @@ def decode_dataset(
             col = _exact_col(c)
             if op == "in":
                 out = out.where(col.isin(*v))
+            elif op == "not_in":
+                # SQL NOT IN: null rows never match (same as the chunk
+                # pruner's null-rejecting algebra)
+                out = out.where(~col.isin(*v))
+            elif op in ("!=", "<>"):
+                out = out.where(col != v)
             elif op == "is_null":
                 out = out.where(col.isNull())
             elif op == "not_null":
@@ -2102,6 +2144,59 @@ def q_decode_filters_dv(spark, sf_dir: str):
     dec = decode_dataset(spark, out, filters=[("lang", "in", ["de", "eo"])])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_filters_ne(spark, sf_dir: str):
+    """Driver-contract query: INEQUALITY pruning through the exact
+    distinct-value sets — ``cat != 'en'`` over a categorical that is
+    constant 'en' on key-contiguous runs (the boilerplate-language-strip
+    shape: drop the dominant language).  Bounds can never prove
+    inequality, so the all-'en' chunks (recorded set exactly ``['en']``)
+    are the ONLY prunable evidence; the query raises unless some chunk
+    was disqualified, then returns the surviving rows for the oracle's
+    value hash (exactness: mixed chunks must survive and re-filter to
+    the row).  Oracle: the same ``<>`` predicate as plain SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_neq_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .withColumn(
+            "cat",
+            F.when(F.col("doc_id") % 500 < 250, F.lit("en")).otherwise(F.col("lang")),
+        )
+        .select("doc_key", "doc_id", "cat", "n_chars")
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_key", size_cols=("cat",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    # evidence as ONE aggregation row: some chunk's recorded value set
+    # holds nothing but the rejected 'en' — disqualified for != 'en'
+    dvj = F.get_json_object(F.col("stats"), "$._dv.cat")
+    survivor = F.exists(
+        F.from_json(dvj, "array<string>"), lambda x: x != F.lit("en")
+    )
+    ev = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((dvj.isNull() | survivor).cast("long")).alias("qualifying"),
+        )
+        .collect()[0]
+    )
+    if ev.total > 1 and ev.qualifying >= ev.total:
+        raise RuntimeError(
+            f"inequality pruned nothing ({ev.qualifying}/{ev.total})"
+        )
+    dec = decode_dataset(spark, out, filters=[("cat", "!=", "en")])
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "cat", "n_chars"
     )
 
 

@@ -91,6 +91,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -267,6 +268,18 @@ def _terms_from_filters(filters) -> list[tuple[str, str, object]]:
     residual — we return every filter as unhandled)."""
     terms = []
     for f in filters:
+        if isinstance(f, Not):
+            # Catalyst pushes `col != v` as Not(EqualTo) and `NOT IN` as
+            # Not(In); both prune through the distinct-value sets
+            inner = f.child
+            attr = getattr(inner, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue
+            if isinstance(inner, EqualTo):
+                terms.append((attr[0], "!=", inner.value))
+            elif isinstance(inner, In):
+                terms.append((attr[0], "not_in", tuple(inner.value)))
+            continue
         attr = getattr(f, "attribute", None)
         if not (isinstance(attr, tuple) and len(attr) == 1):
             continue  # nested paths don't exist in chunk schemas
@@ -328,21 +341,21 @@ def _normalize_terms(terms, schema: pa.Schema):
         t = schema.field(col).type
         try:
             if pa.types.is_timestamp(t):
-                if op in ("in",):
+                if op in ("in", "not_in"):
                     v = tuple(ts_value_us(x) for x in v)
                 elif isinstance(v, datetime):
                     v = ts_value_us(v)
                 else:
                     continue
             elif pa.types.is_date(t):
-                if op in ("in",):
+                if op in ("in", "not_in"):
                     v = tuple(date_value_days(x) for x in v)
                 elif isinstance(v, date):
                     v = date_value_days(v)
                 else:
                     continue
             elif pa.types.is_decimal(t):
-                if op in ("in",):
+                if op in ("in", "not_in"):
                     v = tuple(Decimal(str(x)) for x in v)
                 else:
                     v = Decimal(str(v))
@@ -398,6 +411,24 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
         # equality/IN/prefix prune on MEMBERSHIP — the interleaved-
         # categorical case min/max bounds can never exclude
         dv = dv_map.get(col)
+        if dv is not None and op in ("!=", "not_in"):
+            # inequality prunes ONLY through the exact value set: the
+            # chunk matches nothing when every recorded non-null value
+            # is rejected (all-null rejection already returned above)
+            rejected = v if op == "not_in" else (v,)
+            if schema is not None and col in schema.names and pa.types.is_decimal(
+                schema.field(col).type
+            ):
+                try:
+                    dv = [Decimal(str(x)) for x in dv]
+                except ArithmeticError:
+                    dv = None
+            try:
+                if dv is not None and all(x in rejected for x in dv):
+                    return False
+            except TypeError:
+                pass  # cross-type membership: never prune on it
+            continue
         if dv is not None and op in ("=", "in", "startswith"):
             if schema is not None and col in schema.names and pa.types.is_decimal(
                 schema.field(col).type
