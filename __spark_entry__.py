@@ -62,6 +62,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_encode_roundtrip_pruned as _q_encode_roundtrip_pruned,
 )
+from universal_parquet_exporter_spark.encode.pipeline import (
+    q_encode_roundtrip_clustered as _q_encode_roundtrip_clustered,
+)
 from universal_parquet_exporter_spark.sources.spark_datasource import (
     q_source_read_filtered as _q_source_read_filtered,
 )
@@ -109,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": _q_encode_roundtrip,
         "encode_roundtrip_embeddings": _q_encode_roundtrip_embeddings,
         "encode_roundtrip_pruned": _q_encode_roundtrip_pruned,
+        "encode_roundtrip_clustered": _q_encode_roundtrip_clustered,
         "decode_key_range": _q_decode_key_range,
         "decode_key_range_open": _q_decode_key_range_open,
         "decode_filters": _q_decode_filters,
@@ -587,6 +591,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # column-pruned decode: only the requested columns, still exact
         "encode_roundtrip_pruned": "SELECT doc_id, lang FROM documents",
+        "encode_roundtrip_clustered": (
+            "SELECT doc_id, text, lang, n_chars FROM documents WHERE lang = 'de'"
+        ),
         # key-range-pruned decode: unit pruning + residual filter ==
         # a plain VARCHAR range predicate (bytewise string comparison)
         "decode_key_range": (

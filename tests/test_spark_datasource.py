@@ -482,3 +482,52 @@ def test_stream_read_offsets_and_determinism(spark, tmp_path):
 
     with pytest.raises(ValueError, match="earliest|latest"):
         sds._EncodedStreamReader({"path": out, "starting": "bogus"})
+
+
+def test_write_cluster_by_option_prunes_and_roundtrips(spark, tmp_path):
+    """Sink half of write-time clustering: the caller pre-clusters
+    (repartitionByRange + sortWithinPartitions) and the
+    ``cluster_by`` option keeps that order inside every unit slice
+    instead of re-sorting by key; per-chunk lang distinct sets collapse
+    so an equality read over the format prunes chunks."""
+    out = str(tmp_path / "ds_cluster")
+    sds.register(spark)
+    df = _docs(spark)
+    load_or_build_plan(
+        df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    )
+    clustered = df.repartitionByRange(8, "lang", "n_chars").sortWithinPartitions(
+        "lang", "n_chars"
+    )
+    (
+        clustered.write.format("upe_encoded")
+        .option("key_col", "doc_id")
+        .option("cluster_by", "lang,n_chars")
+        .option("chunk_rows", 64)
+        .mode("append")
+        .save(out)
+    )
+    assert _rows(spark.read.format("upe_encoded").load(out)) == _rows(df)
+    # pruning evidence via the engine's audit hook: equality on lang
+    # skips chunks whose recorded distinct set lacks the value
+    ev = {}
+    dec = decode_dataset(spark, out, filters=[("lang", "=", "de")], pruning_evidence=ev)
+    assert dec.count() == df.where(F.col("lang") == "de").count()
+    assert ev["qualifying"] < ev["total"]
+
+
+def test_write_cluster_by_unknown_column_fails(spark, tmp_path):
+    out = str(tmp_path / "ds_cluster_bad")
+    sds.register(spark)
+    df = _docs(spark)
+    load_or_build_plan(
+        df, EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    )
+    with pytest.raises(Exception, match="cluster_by"):
+        (
+            df.write.format("upe_encoded")
+            .option("key_col", "doc_id")
+            .option("cluster_by", "nope")
+            .mode("append")
+            .save(out)
+        )

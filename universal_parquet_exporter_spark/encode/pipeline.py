@@ -369,6 +369,21 @@ class EncodeJobConfig:
     # parallelize+createDataFrame shape, kept as the measured A/B lever
     # (BENCH/workdist_ab.py).
     work_dist: str = "range"
+    # write-time clustering (the Iceberg SortOrder analog): the DataFrame
+    # encode path range-repartitions + sorts the input by these columns
+    # before the map-side encode, and every unit-slice keeps the cluster
+    # order as its in-chunk row order.  Chunks then cover NARROW cluster-
+    # column ranges, so zone maps prune on a second dimension beyond the
+    # key (e.g. key_col=url, cluster_by=("warc_ts",) makes time-range
+    # scans skip payload), and runs on the cluster columns compress
+    # further (RLE/FOR see whole-chunk runs instead of interleaved
+    # values).  Costs ONE extra exchange up front — the standard price of
+    # a sorted write, paid once at ingest and repaid on every filtered
+    # read.  () = off (arrival order, no extra shuffle).  The direct-
+    # parquet path inherits the files' existing order instead (sorting
+    # there would mean shuffling raw rows through Python); cluster
+    # already-written inputs via the DataFrame path.
+    cluster_by: tuple = ()
 
     def __post_init__(self):
         if not self.run_id:
@@ -399,6 +414,9 @@ class EncodeJobConfig:
             max_buffer_bytes=int(env.get("UPES_ENCODE_MAX_BUFFER_BYTES", 256 << 20)),
             map_tasks=int(map_tasks) if map_tasks else None,
             input_format=env.get("UPES_ENCODE_INPUT_FORMAT", "parquet"),
+            cluster_by=tuple(
+                c for c in env.get("UPES_ENCODE_CLUSTER_BY", "").split(",") if c
+            ),
         )
 
 
@@ -788,6 +806,7 @@ def _encode_stream(
     chunk_rows: int = 32768,
     max_buffer_bytes: int = 256 << 20,
     stats: dict | None = None,
+    cluster_cols: tuple = (),
 ):
     """Core map-side combine: consume Arrow record batches, bucket rows
     into encode units, serialize runs of consecutive unit-slices as
@@ -939,7 +958,27 @@ def _encode_stream(
                     keys = keys[keep]
             if len(units) == 0:
                 continue
-            order = np.lexsort((keys, units))
+            if cluster_cols:
+                # cluster mode: unit-major, then the cluster columns —
+                # the batch arrives globally sorted by the cluster
+                # columns (encode_job's range-repartition + sort pre-
+                # pass), so a stable per-unit re-sort on the same keys
+                # preserves that order inside every unit slice, and
+                # concatenated slices of one unit across batches stay
+                # sorted.  pyarrow sort_indices handles every zone-map
+                # type (timestamps, decimals, strings) and puts nulls
+                # last, which RLE then picks up as one run.
+                sort_tbl = pa.table(
+                    {"__unit__": pa.array(units)}
+                    | {c: batch.column(c) for c in cluster_cols}
+                )
+                order = pa.compute.sort_indices(
+                    sort_tbl,
+                    sort_keys=[("__unit__", "ascending")]
+                    + [(c, "ascending") for c in cluster_cols],
+                ).to_numpy()
+            else:
+                order = np.lexsort((keys, units))
             batch = batch.take(pa.array(order))
             units = units[order]
             change = np.flatnonzero(units[1:] != units[:-1])
@@ -996,18 +1035,35 @@ def encode_job(spark, df, cfg: EncodeJobConfig) -> dict:
         else np.array([], dtype=np.int64)
     )
 
+    if cfg.cluster_by:
+        missing = [c for c in cfg.cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in input: {missing}")
+        # clustered write: ONE range exchange so each map task owns a
+        # narrow cluster-column range, then an in-partition sort (Spark's
+        # external sort — spills, never OOMs).  Every chunk the task cuts
+        # afterwards covers a tight cluster range, which is what makes
+        # the zone maps on these columns selective.  The plan was built
+        # from the pre-shuffle df (same rows, sampling is order-
+        # insensitive), so unit boundaries are unaffected.
+        n_part = cfg.map_tasks or spark.sparkContext.defaultParallelism
+        cols = list(cfg.cluster_by)
+        df = df.repartitionByRange(n_part, *cols).sortWithinPartitions(*cols)
+
     bplan = spark.sparkContext.broadcast(plan.to_json())
     bdone = spark.sparkContext.broadcast(done)
     key_col = cfg.key_col
     payload_dir = os.path.join(cfg.output_dir, "payload")
     chunk_rows = cfg.chunk_rows
     max_buf = cfg.max_buffer_bytes
+    cluster_cols = cfg.cluster_by
 
     def map_encode(iterator):
         plan_local = EncodePlan.from_json(bplan.value)
         done_local = bdone.value
         yield from _encode_stream(
-            iterator, plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf
+            iterator, plan_local, done_local, key_col, payload_dir, chunk_rows, max_buf,
+            cluster_cols=cluster_cols,
         )
 
     frags = df.mapInArrow(map_encode, FRAG_SCHEMA)
@@ -1391,6 +1447,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     key_range: tuple[str | None, str | None] | None = None,
     filters: list[tuple[str, str, object]] | None = None,
+    pruning_evidence: dict | None = None,
 ):
     """Read the encoded dataset back as a DataFrame of original rows.
 
@@ -1613,7 +1670,14 @@ def decode_dataset(
                 term = F.col("stats").isNull() | term
                 keep = term if keep is None else (keep & term)
             if keep is not None:
+                if pruning_evidence is not None:
+                    # opt-in pruning audit (two tiny manifest-only jobs):
+                    # chunk rows qualifying before/after the zone-map
+                    # keep — the EXPLAIN analog for a filtered decode
+                    pruning_evidence["total"] = enc.count()
                 enc = enc.where(keep)
+                if pruning_evidence is not None:
+                    pruning_evidence["qualifying"] = enc.count()
 
     def decode(iterator):
         # several manifest rows (unit-slices) share one chunk; the input
@@ -2197,6 +2261,45 @@ def q_decode_filters_ne(spark, sf_dir: str):
     dec = decode_dataset(spark, out, filters=[("cat", "!=", "en")])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "cat", "n_chars"
+    )
+
+
+def q_encode_roundtrip_clustered(spark, sf_dir: str):
+    """Driver-contract query: WRITE-TIME CLUSTERING
+    (``EncodeJobConfig.cluster_by`` — the Iceberg SortOrder analog the
+    reference's arbitrary-cursor-order export lacks).  The documents
+    table arrives lang-interleaved (every chunk of a plain write holds
+    most languages); clustering by (lang, n_chars) range-repartitions +
+    sorts before encode so chunks collapse to single-language distinct
+    sets, and the decode's ``lang = 'de'`` equality PRUNES chunk payload
+    — the query raises unless ``pruning_evidence`` proves it did.
+    Oracle: the same equality as plain SQL; the value hash certifies the
+    clustered write reorders rows WITHOUT losing or altering one (the
+    north-rule bit-identity, under a permutation)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_clusq_")
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_id", size_cols=("text",),
+        target_unit_bytes=64 << 10, chunk_rows=64, map_tasks=8,
+        cluster_by=("lang", "n_chars"),
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    encode_job(spark, df, cfg)
+    ev: dict = {}
+    dec = decode_dataset(
+        spark, out, filters=[("lang", "=", "de")], pruning_evidence=ev
+    )
+    if ev["total"] > 1 and ev["qualifying"] >= ev["total"]:
+        raise RuntimeError(
+            f"clustered write pruned nothing ({ev['qualifying']}/{ev['total']})"
+        )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "n_chars"
     )
 
 

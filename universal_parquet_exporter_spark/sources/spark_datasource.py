@@ -929,6 +929,19 @@ class _EncodedWriterBase:
             )
         self.chunk_rows = int(options.get("chunk_rows", 32768))
         self.max_buffer_bytes = int(options.get("max_buffer_bytes", 256 << 20))
+        # .option("cluster_by", "col1,col2"): the sink-side half of
+        # write-time clustering (EncodeJobConfig.cluster_by).  A Spark
+        # DataSource writer cannot repartition its own input, so the
+        # caller pre-clusters (df.repartitionByRange(...).sortWithin
+        # Partitions(...)) and this option keeps that order INSIDE every
+        # unit slice instead of re-sorting by key — chunk zone maps on
+        # the cluster columns stay narrow either way (they follow the
+        # flush wave), this preserves the RLE/FOR run structure too.
+        cb = options.get("cluster_by", "")
+        self.cluster_cols = tuple(c for c in cb.split(",") if c)
+        missing = [c for c in self.cluster_cols if c not in schema_names]
+        if missing:
+            raise ValueError(f"cluster_by columns not in the written schema: {missing}")
         self.run_id = uuid.uuid4().hex[:12]
 
     # -- executor side ------------------------------------------------
@@ -943,6 +956,7 @@ class _EncodedWriterBase:
                 os.path.join(self.path, "payload"),
                 self.chunk_rows,
                 self.max_buffer_bytes,
+                cluster_cols=self.cluster_cols,
             )
         )
         return _FragMessage(out[0].to_pylist() if out else [])
