@@ -29,6 +29,9 @@ from universal_parquet_exporter_spark.encode.compaction import (
 from universal_parquet_exporter_spark.encode.compaction import (
     q_compact_filtered as _q_compact_filtered,
 )
+from universal_parquet_exporter_spark.encode.compaction import (
+    q_compact_clustered as _q_compact_clustered,
+)
 from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_ts as _q_decode_filters_ts,
 )
@@ -125,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_filtered": _q_compact_filtered,
+        "compact_clustered": _q_compact_clustered,
         "source_read_filtered": _q_source_read_filtered,
         "source_write_roundtrip": _q_source_write_roundtrip,
         "source_stream_read": _q_source_stream_read,
@@ -660,6 +664,13 @@ def oracle_sql() -> dict[str, str]:
         # equals the numeric bound 300)
         "compact_filtered": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id >= 300"
+        ),
+        # retro-clustering (compact(cluster_by=…), the sort-strategy
+        # rewrite_data_files): after the in-place re-sort an equality
+        # decode prunes chunks by distinct-value membership (the query
+        # raises if it doesn't) and values stay bit-identical
+        "compact_clustered": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'"
         ),
         # open-ended variant: lower bound only, upper unbounded
         "decode_key_range_open": (

@@ -213,3 +213,52 @@ def test_compact_skips_crashed_overwrite_version_dir(spark, tmp_path):
     assert open(marker).read() == "not ours"  # stray dir untouched
     got = {r.doc_id for r in decode_dataset(spark, out).select("doc_id").collect()}
     assert got == {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_compact_cluster_by_retroclusters(spark, tmp_path):
+    """``compact(cluster_by=...)`` = Iceberg's sort-strategy
+    rewrite_data_files: a dataset ingested in interleaved order gains
+    narrow per-chunk zone maps on the cluster columns retroactively —
+    values still bit-identical, and an equality decode over the
+    rewritten manifest prunes chunks it could not prune before."""
+    import json
+
+    out = str(tmp_path / "cmp_cluster")
+    df = _ingest_fragmented(spark, out)
+
+    def dv_singletons(slices):
+        rows = slices.select(
+            F.get_json_object("stats", "$._dv.lang").alias("dv")
+        ).collect()
+        if not rows:
+            return 0.0
+        return sum(
+            1 for r in rows if r.dv is not None and len(json.loads(r.dv)) == 1
+        ) / len(rows)
+
+    before = dv_singletons(_committed_slices(spark, out))
+
+    rep = compact(
+        spark, out, chunk_rows=8, min_avg_slice_rows=1 << 30, cluster_by=("lang",)
+    )
+    assert rep["units_compacted"] > 0 and rep["manifest_rewritten"]
+
+    after = dv_singletons(_committed_slices(spark, out))
+    assert after > before
+    assert after > 0.5
+
+    # bit-identity survives the re-sort
+    dec = decode_dataset(spark, out)
+    assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, df.collect()))
+    # and the equality filter now prunes
+    ev = {}
+    got = decode_dataset(spark, out, filters=[("lang", "=", "de")], pruning_evidence=ev)
+    assert got.count() == df.where(F.col("lang") == "de").count()
+    assert ev["qualifying"] < ev["total"]
+
+
+def test_compact_cluster_by_unknown_column_fails(spark, tmp_path):
+    out = str(tmp_path / "cmp_cluster_bad")
+    _ingest_fragmented(spark, out, n_batches=2)
+    with pytest.raises(ValueError, match="cluster_by"):
+        compact(spark, out, chunk_rows=64, cluster_by=("nope",))

@@ -70,10 +70,19 @@ def compact(
     min_avg_slice_rows: int | None = None,
     max_buffer_bytes: int = 256 << 20,
     dry_run: bool = False,
+    cluster_by: tuple = (),
 ) -> dict:
     """Merge fragmented units' slices into full-size chunks; see module
     docstring.  Returns selection + rewrite counters; decoded data is
-    unchanged by construction (pytest- and driver-oracle-gated)."""
+    unchanged by construction (pytest- and driver-oracle-gated).
+
+    ``cluster_by`` additionally RE-SORTS each rewritten unit's rows by
+    the given columns before re-chunking (Iceberg's sort-strategy
+    ``rewrite_data_files``): a dataset ingested in interleaved arrival
+    order gains narrow per-chunk zone maps on those columns
+    retroactively, without re-reading the source.  Selection is
+    unchanged — pair with a large ``min_avg_slice_rows`` to re-cluster
+    every multi-slice unit, not just fragmented ones."""
     from pyspark.sql import functions as F
 
     from ..plans.partitioning import EncodePlan
@@ -119,6 +128,22 @@ def compact(
         "manifest_rewritten": False,
         "dry_run": dry_run,
     }
+    if cluster_by:
+        # validate against the DATASET's union schema (meta-only probes
+        # over committed rows) before any early return, so a typo'd
+        # column fails loudly even when selection is empty
+        ds_probes = _probe_rows(committed_rows.select("codecs", "file", "offset"))
+        ds_names = [
+            f.name
+            for f in _union_probe_schema(
+                payload_dir, sorted((r.file, r.offset) for r in ds_probes)
+            )
+        ]
+        missing_cols = [c for c in cluster_by if c not in ds_names]
+        if missing_cols:
+            raise ValueError(
+                f"cluster_by columns not in the dataset schema: {missing_cols}"
+            )
     if not n_targets or dry_run:
         return report
     target_units = per_unit.where(frag_cond).select("unit")
@@ -176,6 +201,8 @@ def compact(
             payload_dir,
             chunk_rows,
             max_buffer_bytes,
+            cluster_cols=cluster_by,
+            sort_units_at_flush=True,
         )
 
     # a unit's slices must meet in one task (so it re-packs into the
@@ -355,4 +382,68 @@ def q_compact_filtered(spark, sf_dir: str):
     dec = decode_dataset(spark, out, filters=[("doc_id", ">=", bound)])
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "n_chars"
+    )
+
+
+def q_compact_clustered(spark, sf_dir: str):
+    """Driver-contract query: RETRO-CLUSTERING (``compact(cluster_by=…)``,
+    Iceberg's sort-strategy ``rewrite_data_files``) end to end.  A
+    dataset ingested in interleaved arrival order — every chunk mixes
+    all languages, so ``lang = 'de'`` can prune nothing — is rewritten
+    in place with ``cluster_by=("lang",)``; the query raises unless the
+    rewrite ran AND the post-rewrite equality decode actually skipped
+    chunks (distinct-value-set membership on now-narrow chunks), and the
+    oracle is the plain predicate, so a green row certifies both the
+    pruning evidence and bit-identical values through the re-sort."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import EncodeJobConfig, decode_dataset, encode_job
+
+    out = tempfile.mkdtemp(prefix="upes_cmpc_")
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "doc_id", F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    )
+    # two hash-split appends: each unit gets ~2 slices (selectable) and
+    # every chunk interleaves languages (nothing for equality to prune)
+    for i in range(2):
+        part = df.where(F.crc32(F.col("doc_id")) % 2 == i)
+        cfg = EncodeJobConfig(
+            output_dir=out,
+            key_col="doc_id",
+            size_cols=("text",),
+            target_unit_bytes=16 << 10,
+            chunk_rows=64,
+            skip_completed=False,
+            batch_tag=f"append_{i}",
+        )
+        encode_job(spark, part, cfg)
+
+    ev_pre: dict = {}
+    decode_dataset(
+        spark, out, filters=[("lang", "=", "de")], pruning_evidence=ev_pre
+    )
+    # min_avg_slice_rows above any slice size selects every multi-slice
+    # unit — re-clustering is the goal here, not fragment repair.
+    # chunk_rows=16 < rows-per-lang-per-unit so the sorted rewrite yields
+    # mostly single-language chunks (pruning needs chunks narrower than
+    # the language mix)
+    rep = compact(
+        spark,
+        out,
+        chunk_rows=16,
+        min_avg_slice_rows=1 << 30,
+        cluster_by=("lang",),
+    )
+    if not rep["units_compacted"] or not rep["manifest_rewritten"]:
+        raise RuntimeError(f"retro-clustering rewrote nothing: {rep}")
+    ev: dict = {}
+    dec = decode_dataset(spark, out, filters=[("lang", "=", "de")], pruning_evidence=ev)
+    if ev["qualifying"] >= ev["total"]:
+        raise RuntimeError(
+            f"retro-clustered equality decode pruned nothing ({ev}, pre {ev_pre})"
+        )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
     )

@@ -807,6 +807,7 @@ def _encode_stream(
     max_buffer_bytes: int = 256 << 20,
     stats: dict | None = None,
     cluster_cols: tuple = (),
+    sort_units_at_flush: bool = False,
 ):
     """Core map-side combine: consume Arrow record batches, bucket rows
     into encode units, serialize runs of consecutive unit-slices as
@@ -935,6 +936,28 @@ def _encode_stream(
 
         for unit in sorted(buf):
             bs = buf[unit]
+            if cluster_cols:
+                # cluster mode: a unit whose wave-buffer exceeds
+                # chunk_rows must SPLIT into ~chunk_rows chunks — the
+                # plain packer only cuts between units, which would put
+                # the whole sorted unit in one chunk and erase the
+                # clustering's zone-map value.  Fragments per unit are
+                # already the normal decode/resume shape.
+                utbl = pa.Table.from_batches(bs)
+                if sort_units_at_flush:
+                    # retro-clustering (compaction): no shuffle
+                    # pre-sorted this stream, so order the whole
+                    # buffered unit here — transient cost is one
+                    # combined table per unit within the already-
+                    # bounded wave (the sort itself is Arrow C++)
+                    utbl = utbl.sort_by([(c, "ascending") for c in cluster_cols])
+                for s in range(0, utbl.num_rows, chunk_rows):
+                    sl = utbl.slice(s, min(chunk_rows, utbl.num_rows - s))
+                    pending.append((unit, sl.to_batches()))
+                    pending_rows += sl.num_rows
+                    if pending_rows >= chunk_rows:
+                        flush_chunk()
+                continue
             pending.append((unit, bs))
             pending_rows += sum(b.num_rows for b in bs)
             if pending_rows >= chunk_rows:
