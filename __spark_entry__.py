@@ -48,6 +48,9 @@ from universal_parquet_exporter_spark.encode.pipeline import (
     q_decode_filters_ne as _q_decode_filters_ne,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
+    q_decode_filters_or as _q_decode_filters_or,
+)
+from universal_parquet_exporter_spark.encode.pipeline import (
     q_stats_agg as _q_stats_agg,
 )
 from universal_parquet_exporter_spark.encode.pipeline import (
@@ -124,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_filters_null": _q_decode_filters_null,
         "decode_filters_prefix": _q_decode_filters_prefix,
         "decode_filters_ne": _q_decode_filters_ne,
+        "decode_filters_or": _q_decode_filters_or,
         "stats_agg": _q_stats_agg,
         "vacuum_roundtrip": _q_vacuum_roundtrip,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -649,6 +653,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 500 < 250 THEN 'en' ELSE lang END AS cat, "
             "n_chars FROM documents "
             "WHERE (CASE WHEN doc_id % 500 < 250 THEN 'en' ELSE lang END) <> 'en'"
+        ),
+        # DISJUNCTIVE (DNF) pruning: the out-of-range scan key < a OR
+        # key >= b — middle chunks prune (no group's bounds keep them),
+        # each half arrives exactly once (the query raises unless
+        # pruning fired)
+        "decode_filters_or": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id < 100 OR doc_id >= 400"
         ),
         # metadata-only MIN/MAX/COUNT (the reference's MIN/MAX(order_date)
         # diagnostic shape) must EQUAL the oracle's full-scan aggregate

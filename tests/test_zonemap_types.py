@@ -591,3 +591,165 @@ def test_ne_pushdown_through_datasource_reader(spark, outdir):
         .where("cat NOT IN ('en', 'de')").count()
     )
     assert got_nin == df.where("cat NOT IN ('en', 'de')").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# DNF filters (OR of AND-groups, pyarrow's list-of-lists convention)
+# ---------------------------------------------------------------------------
+
+
+def _dnf_encoded(spark, outdir):
+    df = _typed_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    return df
+
+
+def test_dnf_or_prunes_union_and_is_exact(spark, outdir):
+    """The out-of-range scan ``k < a OR k >= b``: chunks covering the
+    middle of the key range prune (neither group's bounds keep them),
+    and the decode equals the plain OR predicate."""
+    df = _dnf_encoded(spark, outdir)
+    ev: dict = {}
+    dec = decode_dataset(
+        spark,
+        outdir,
+        filters=[[("k", "<", "000100")], [("k", ">=", "000500")]],
+        pruning_evidence=ev,
+    )
+    got = sorted(r.k for r in dec.collect())
+    exp = sorted(
+        r.k for r in df.where((df.k < "000100") | (df.k >= "000500")).collect()
+    )
+    assert got == exp and len(got) > 0
+    assert ev["qualifying"] < ev["total"], f"OR pruned nothing ({ev})"
+
+
+def test_dnf_cross_column_or_is_exact(spark, outdir):
+    """OR across DIFFERENT columns (ts window ∪ decimal threshold) —
+    the union keep must lose nothing vs the plain predicate."""
+    df = _dnf_encoded(spark, outdir)
+    t1 = datetime(2024, 1, 3)
+    p = Decimal("700.00")
+    dec = decode_dataset(
+        spark,
+        outdir,
+        filters=[[("ts", "<=", t1)], [("price", ">", p)]],
+    )
+    got = sorted(r.k for r in dec.collect())
+    exp = sorted(r.k for r in df.where((df.ts <= t1) | (df.price > p)).collect())
+    assert got == exp and len(got) > 0
+
+
+def test_dnf_unprunable_group_disables_pruning_but_stays_exact(spark, outdir):
+    """A group whose only term can't use manifest stats (dotted column
+    name breaks the JSON path) keeps every chunk — the whole disjunction
+    must then prune nothing (conservative), while the exact residual
+    still applies the full OR-of-AND predicate."""
+    from pyspark.sql import functions as F
+
+    from universal_parquet_exporter_spark.encode.pipeline import load_or_build_plan
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    sds.register(spark)
+    # the DataFrame encode path rejects dotted names (mapInArrow parses
+    # them as struct paths) — the pure-Arrow upe_encoded sink takes them
+    df = _typed_df(spark).withColumn("pr.ice", F.col("price")).drop("price")
+    load_or_build_plan(
+        df,
+        EncodeJobConfig(
+            output_dir=outdir, key_col="k", size_cols=("text",),
+            target_unit_bytes=8 << 10, chunk_rows=64,
+        ),
+    )
+    df.write.format("upe_encoded").option("key_col", "k").mode("append").save(outdir)
+    ev: dict = {}
+    p = Decimal("700.00")
+    dec = decode_dataset(
+        spark,
+        outdir,
+        filters=[[("k", "<", "000100")], [("pr.ice", ">", p)]],
+        pruning_evidence=ev,
+    )
+    got = sorted(r.k for r in dec.collect())
+    exp = sorted(
+        r.k
+        for r in df.where((F.col("k") < "000100") | (F.col("`pr.ice`") > p)).collect()
+    )
+    assert got == exp and len(got) > 0
+    assert ev["qualifying"] == ev["total"]  # conservative: nothing pruned
+
+
+def test_dnf_shape_validation(spark, outdir):
+    _dnf_encoded(spark, outdir)
+    with pytest.raises(ValueError, match="not a mix"):
+        decode_dataset(
+            spark, outdir, filters=[("k", "<", "1"), [("k", ">", "2")]]
+        )
+    with pytest.raises(ValueError, match="empty AND-group"):
+        decode_dataset(spark, outdir, filters=[[("k", "<", "1")], []])
+    with pytest.raises(ValueError, match="must be a"):
+        decode_dataset(spark, outdir, filters=[[["k", "<", "1"]]])
+
+
+# ---------------------------------------------------------------------------
+# endswith / contains: distinct-set-only pruning + reader pushdown
+# ---------------------------------------------------------------------------
+
+
+def test_endswith_contains_prune_on_distinct_sets(spark, outdir):
+    """No order relation to bounds exists for substring predicates, so
+    only the exact distinct-value sets can prune; with evidence, an
+    absent suffix/infix must qualify ZERO chunks while a present one
+    stays exact."""
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+
+    ev: dict = {}
+    got = decode_dataset(
+        spark, outdir, filters=[("cat", "endswith", "qq")], pruning_evidence=ev
+    )
+    assert got.count() == 0 and ev["qualifying"] == 0 < ev["total"]
+    got_e = decode_dataset(spark, outdir, filters=[("cat", "endswith", "e")])
+    assert got_e.count() == df.where("cat LIKE '%e'").count() > 0
+
+    ev2: dict = {}
+    got_c = decode_dataset(
+        spark, outdir, filters=[("cat", "contains", "qq")], pruning_evidence=ev2
+    )
+    assert got_c.count() == 0 and ev2["qualifying"] == 0 < ev2["total"]
+    got_r = decode_dataset(spark, outdir, filters=[("cat", "contains", "r")])
+    assert got_r.count() == df.where("cat LIKE '%r%'").count() > 0
+
+    with pytest.raises(ValueError, match="endswith"):
+        decode_dataset(spark, outdir, filters=[("k", "endswith", 5)])
+
+
+def test_endswith_contains_nullsafe_pushdown_through_reader(spark, outdir):
+    """Catalyst pushes StringEndsWith/StringContains/EqualNullSafe to the
+    Python DataSource; the reader maps them to the same distinct-set /
+    equality pruning terms, and results equal the plain predicates."""
+    from universal_parquet_exporter_spark.sources import spark_datasource as sds
+
+    sds.register(spark)
+    df = _dv_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=8 << 10, chunk_rows=64,
+    )
+    encode_job(spark, df, cfg)
+    src = spark.read.format("upe_encoded").load(outdir)
+
+    assert src.where("cat LIKE '%qq'").count() == 0
+    assert src.where("cat LIKE '%e'").count() == df.where("cat LIKE '%e'").count() > 0
+    assert src.where("cat LIKE '%qq%'").count() == 0
+    assert src.where("cat LIKE '%r%'").count() == df.where("cat LIKE '%r%'").count() > 0
+    assert src.where("cat <=> 'de'").count() == df.where("cat = 'de'").count() > 0
+    assert src.where("cat <=> 'qq'").count() == 0

@@ -1268,8 +1268,35 @@ def _finish_encode(spark, frags, plan: EncodePlan, done: np.ndarray, cfg: Encode
 
 _FILTER_OPS = (
     "<", "<=", ">", ">=", "=", "==", "!=", "<>", "in", "not_in",
-    "is_null", "not_null", "startswith",
+    "is_null", "not_null", "startswith", "endswith", "contains",
 )
+
+
+def _filter_groups(filters) -> list[list[tuple]]:
+    """Normalize ``filters`` to OR-of-AND groups (pyarrow's DNF
+    convention): a flat list of ``(col, op, value)`` TUPLES is one
+    conjunction; a list of LISTS is a disjunction of conjunctions.
+    A tuple element is a term, a list element is a group — mixing the
+    two shapes is ambiguous and raises."""
+    kinds = {isinstance(f, list) for f in filters}
+    if kinds == {True}:
+        groups = filters
+    elif kinds == {False}:
+        groups = [filters]
+    else:
+        raise ValueError(
+            "filters must be all (col, op, value) terms (AND) or all "
+            "lists of terms (OR of ANDs), not a mix"
+        )
+    for g in groups:
+        if not g:
+            raise ValueError("empty AND-group in filters")
+        for t in g:
+            if not (isinstance(t, tuple) and len(t) == 3):
+                raise ValueError(
+                    f"filter term must be a (col, op, value) tuple: {t!r}"
+                )
+    return groups
 
 
 _JSON_PATH_SAFE = None  # compiled lazily (module import stays light)
@@ -1488,7 +1515,11 @@ def decode_dataset(
     residual filter needs it).
 
     ``filters=[(col, op, value), ...]`` (op in ``< <= > >= = == != <>
-    in not_in is_null not_null startswith``, terms AND-ed; ``in`` /
+    in not_in is_null not_null startswith endswith contains``, terms
+    AND-ed; ``endswith``/``contains`` (string columns) have no order
+    relation to bounds and prune through the exact distinct-value sets
+    only, mirroring the reader's ``StringEndsWith``/``StringContains``
+    pushdown; ``in`` /
     ``not_in`` take a non-empty tuple/list; ``in`` prunes when no
     listed value fits the bounds; ``!=``/``not_in`` prune only through
     the distinct-value sets — a chunk whose recorded (exact, non-null)
@@ -1510,6 +1541,16 @@ def decode_dataset(
     Filter columns must be included in ``columns`` when both are given;
     datasets encoded before zone maps existed decode fine (no stats
     column → no pruning).
+
+    Disjunctions use pyarrow's DNF shape: a list of LISTS of terms is
+    an OR of AND-groups (``[[("lang", "=", "de")], [("lang", "=",
+    "fr")]]``; the flat list stays one conjunction).  A chunk is
+    pruned only when EVERY group's recorded stats disqualify it — a
+    group containing any unprunable term keeps all chunks,
+    conservatively disabling pruning for the whole disjunction — and
+    the exact OR-of-AND predicate is re-applied to decoded rows.  The
+    out-of-range-key scan (``key < a OR key >= b``) and the
+    multi-category scan are the intended shapes.
 
     Schema evolution (additive): appends may add or omit columns — the
     output schema is the union-by-name over all chunk generations
@@ -1557,15 +1598,16 @@ def decode_dataset(
     out_schema = _arrow_to_ddl(probe, columns)
     want_fields = [probe.field(c) for c in columns] if columns else list(probe)
 
+    fgroups = _filter_groups(filters) if filters else []
     if filters:
-        for c, op, _v in filters:
+        for c, op, _v in (t for g in fgroups for t in g):
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
             if op in ("in", "not_in") and not _v:
                 raise ValueError(f"empty {op.upper()}-list for filter column {c!r}")
             if c not in probe.names:
                 raise ValueError(f"filter column {c!r} not in dataset schema")
-            if op == "startswith" and not (
+            if op in ("startswith", "endswith", "contains") and not (
                 isinstance(_v, str)
                 and (
                     pa.types.is_string(probe.field(c).type)
@@ -1573,7 +1615,7 @@ def decode_dataset(
                 )
             ):
                 raise ValueError(
-                    f"startswith needs a string value on a string column ({c!r})"
+                    f"{op} needs a string value on a string column ({c!r})"
                 )
             if columns is not None and c not in columns:
                 raise ValueError(f"filters need column {c!r} in columns (residual filter)")
@@ -1582,17 +1624,17 @@ def decode_dataset(
             # bounds PROVE the term can't match; null/absent bounds keep.
             # Bounds are typed from the probed schema so integer
             # comparisons stay exact (no double round-trip past 2^53).
-            keep = None
             ncj = F.get_json_object(F.col("stats"), "$._nc")
             n_total = F.get_json_object(F.col("stats"), "$._n").cast("long")
             has_nc = ncj.isNotNull() & n_total.isNotNull()
-            for c, op, v in filters:
+
+            def _term_keep(c, op, v):
                 if not _json_path_safe(c):
                     # a dotted/bracketed name breaks the get_json_object
                     # path and a failed _nc lookup would read as
                     # all-null and WRONGLY prune — skip manifest pruning
                     # for this column (the exact residual still applies)
-                    continue
+                    return None
                 # null-count pruning (the parquet null-count analog):
                 # a column absent from a recorded _nc map is all-null in
                 # that chunk — including generations that PREDATE the
@@ -1604,9 +1646,7 @@ def decode_dataset(
                         term = (~has_nc) | nc.isNull() | (nc > F.lit(0))
                     else:
                         term = not_all_null
-                    term = F.col("stats").isNull() | term
-                    keep = term if keep is None else (keep & term)
-                    continue
+                    return F.col("stats").isNull() | term
                 cast_to, conv = _zone_bound_type(probe.field(c).type)
                 vs = [conv(x) for x in v] if op in ("in", "not_in") else [conv(v)]
                 mn = F.get_json_object(F.col("stats"), f"$.{c}[0]")
@@ -1624,6 +1664,19 @@ def decode_dataset(
                     dv_arr = _dv_array_col(c, probe.field(c).type, cast_to)
                     if dv_arr is not None:
                         member = F.exists(dv_arr, lambda x: x.startswith(vs[0]))
+                        dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
+                        term = term & (dvj.isNull() | member)
+                elif op in ("endswith", "contains"):
+                    # no order relation to [min, max] — membership in
+                    # the exact distinct-value set is the only pruner
+                    # (plus the shared all-null rejection below)
+                    term = F.lit(True)
+                    dv_arr = _dv_array_col(c, probe.field(c).type, cast_to)
+                    if dv_arr is not None:
+                        if op == "endswith":
+                            member = F.exists(dv_arr, lambda x: x.endswith(vs[0]))
+                        else:
+                            member = F.exists(dv_arr, lambda x: x.contains(vs[0]))
                         dvj = F.get_json_object(F.col("stats"), f"$._dv.{c}")
                         term = term & (dvj.isNull() | member)
                 elif op in (">", ">="):
@@ -1690,9 +1743,24 @@ def decode_dataset(
                 # all-null chunk (evolution: column-predating chunks
                 # included) can never satisfy them
                 term = term & not_all_null
-                term = F.col("stats").isNull() | term
-                keep = term if keep is None else (keep & term)
-            if keep is not None:
+                return F.col("stats").isNull() | term
+
+            # OR-of-AND composition (pyarrow DNF): a chunk survives when
+            # ANY group's prunable terms all keep it.  A group with no
+            # prunable term keeps every chunk, which conservatively
+            # disables pruning for the whole disjunction.
+            any_prunable = False
+            keep = None
+            for g in fgroups:
+                gk = None
+                for c, op, v in g:
+                    t = _term_keep(c, op, v)
+                    if t is not None:
+                        any_prunable = True
+                        gk = t if gk is None else (gk & t)
+                gk = F.lit(True) if gk is None else gk
+                keep = gk if keep is None else (keep | gk)
+            if any_prunable:
                 if pruning_evidence is not None:
                     # opt-in pruning audit (two tiny manifest-only jobs):
                     # chunk rows qualifying before/after the zone-map
@@ -1755,27 +1823,40 @@ def decode_dataset(
             out = out.where(_exact_col(key_col) <= hi)
     if filters:
         # exact residual for every term (chunk pruning is conservative;
-        # _exact_col keeps a dotted name from parsing as a struct path)
-        for c, op, v in filters:
+        # _exact_col keeps a dotted name from parsing as a struct path),
+        # AND-ed within a group, OR-ed across groups
+        def _term_expr(c, op, v):
             col = _exact_col(c)
             if op == "in":
-                out = out.where(col.isin(*v))
-            elif op == "not_in":
+                return col.isin(*v)
+            if op == "not_in":
                 # SQL NOT IN: null rows never match (same as the chunk
                 # pruner's null-rejecting algebra)
-                out = out.where(~col.isin(*v))
-            elif op in ("!=", "<>"):
-                out = out.where(col != v)
-            elif op == "is_null":
-                out = out.where(col.isNull())
-            elif op == "not_null":
-                out = out.where(col.isNotNull())
-            elif op == "startswith":
-                out = out.where(col.startswith(v))
-            else:
-                out = out.where(
-                    {"<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}.get(op, col == v)
-                )
+                return ~col.isin(*v)
+            if op in ("!=", "<>"):
+                return col != v
+            if op == "is_null":
+                return col.isNull()
+            if op == "not_null":
+                return col.isNotNull()
+            if op == "startswith":
+                return col.startswith(v)
+            if op == "endswith":
+                return col.endswith(v)
+            if op == "contains":
+                return col.contains(v)
+            return {
+                "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v
+            }.get(op, col == v)
+
+        cond = None
+        for g in fgroups:
+            gc = None
+            for c, op, v in g:
+                e = _term_expr(c, op, v)
+                gc = e if gc is None else (gc & e)
+            cond = gc if cond is None else (cond | gc)
+        out = out.where(cond)
     return out
 
 
@@ -2423,6 +2504,47 @@ def q_decode_filters_prefix(spark, sf_dir: str):
             f"prefix bounds pruned nothing ({ev.qualifying}/{ev.total})"
         )
     dec = decode_dataset(spark, out, filters=[("doc_key", "startswith", "0000012")])
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+
+
+def q_decode_filters_or(spark, sf_dir: str):
+    """Driver-contract query: DISJUNCTIVE (DNF) filtered decode — the
+    out-of-range scan ``key < a OR key >= b`` over a key-clustered
+    dataset.  Filters in pyarrow's list-of-lists shape are OR-ed across
+    groups; a chunk survives when ANY group's bounds keep it, so the
+    chunks covering the middle of the key range are skipped before any
+    payload byte.  Raises unless that pruning actually fired; the
+    oracle is the plain OR predicate, so a green row certifies both
+    halves of the union arrive exactly once (no loss, no duplication
+    across groups)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="upes_dnf_")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+        .select("doc_key", "doc_id", "lang", "n_chars")
+    )
+    cfg = EncodeJobConfig(
+        output_dir=out, key_col="doc_key", size_cols=("doc_key",),
+        target_unit_bytes=64 << 10, chunk_rows=128,
+    )
+    encode_job(spark, df, cfg)
+    ev: dict = {}
+    dec = decode_dataset(
+        spark,
+        out,
+        filters=[[("doc_key", "<", "00000100")], [("doc_key", ">=", "00000400")]],
+        pruning_evidence=ev,
+    )
+    if ev["total"] > 1 and ev["qualifying"] >= ev["total"]:
+        raise RuntimeError(
+            f"disjunctive bounds pruned nothing ({ev['qualifying']}/{ev['total']})"
+        )
     return dec.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
     )

@@ -82,6 +82,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -92,6 +93,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -291,6 +294,19 @@ def _terms_from_filters(filters) -> list[tuple[str, str, object]]:
             terms.append((col, "in", tuple(f.value)))
         elif isinstance(f, StringStartsWith):
             terms.append((col, "startswith", f.value))
+        elif isinstance(f, StringEndsWith):
+            # no order relation to bounds — prunes via distinct-value
+            # sets only (and the null-rejecting all-null rule)
+            terms.append((col, "endswith", f.value))
+        elif isinstance(f, StringContains):
+            terms.append((col, "contains", f.value))
+        elif isinstance(f, EqualNullSafe):
+            # col <=> NULL is IS NULL; with a non-null operand it prunes
+            # exactly like equality (null rows can't match a value)
+            if f.value is None:
+                terms.append((col, "is_null", None))
+            else:
+                terms.append((col, "=", f.value))
         elif isinstance(f, IsNull):
             terms.append((col, "is_null", None))
         elif isinstance(f, IsNotNull):
@@ -429,7 +445,7 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
             except TypeError:
                 pass  # cross-type membership: never prune on it
             continue
-        if dv is not None and op in ("=", "in", "startswith"):
+        if dv is not None and op in ("=", "in", "startswith", "endswith", "contains"):
             if schema is not None and col in schema.names and pa.types.is_decimal(
                 schema.field(col).type
             ):
@@ -446,6 +462,14 @@ def _chunk_keep(stats_json: str | None, terms, schema: pa.Schema) -> bool:
                     return False
                 elif op == "startswith" and all(isinstance(x, str) for x in dv) and not any(
                     x.startswith(v) for x in dv
+                ):
+                    return False
+                elif op == "endswith" and all(isinstance(x, str) for x in dv) and not any(
+                    x.endswith(v) for x in dv
+                ):
+                    return False
+                elif op == "contains" and all(isinstance(x, str) for x in dv) and not any(
+                    v in x for x in dv
                 ):
                     return False
             except TypeError:
