@@ -753,3 +753,63 @@ def test_endswith_contains_nullsafe_pushdown_through_reader(spark, outdir):
     assert src.where("cat LIKE '%r%'").count() == df.where("cat LIKE '%r%'").count() > 0
     assert src.where("cat <=> 'de'").count() == df.where("cat = 'de'").count() > 0
     assert src.where("cat <=> 'qq'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# filter-driven unit pruning (key-column terms -> per-group ranges -> union)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_driven_unit_pruning(spark, outdir):
+    """Terms on the plan's key column prune whole encode UNITS before
+    any chunk statistics are consulted — the same layer an explicit
+    key_range drives, derived from the filters themselves."""
+    df = _typed_df(spark)
+    cfg = EncodeJobConfig(
+        output_dir=outdir, key_col="k", size_cols=("text",),
+        target_unit_bytes=512, chunk_rows=64,  # tiny units -> many to prune
+    )
+    encode_job(spark, df, cfg)
+
+    ev: dict = {}
+    dec = decode_dataset(
+        spark, outdir, filters=[("k", ">=", "000500")], pruning_evidence=ev
+    )
+    assert ev["units_qualifying"] < ev["units_total"]
+    assert dec.count() == df.where(df.k >= "000500").count() > 0
+
+    # DNF: two disjoint key ranges union their units; the middle prunes
+    ev2: dict = {}
+    dec2 = decode_dataset(
+        spark,
+        outdir,
+        filters=[[("k", "<", "000100")], [("k", ">=", "000500")]],
+        pruning_evidence=ev2,
+    )
+    assert 0 < ev2["units_qualifying"] < ev2["units_total"]
+    exp2 = df.where((df.k < "000100") | (df.k >= "000500")).count()
+    assert dec2.count() == exp2 > 0
+
+    # a group with no key term leaves its range unbounded -> the whole
+    # disjunction keeps every unit (conservative, no unit evidence)
+    ev3: dict = {}
+    dec3 = decode_dataset(
+        spark,
+        outdir,
+        filters=[[("k", ">=", "000500")], [("price", ">", Decimal("100.00"))]],
+        pruning_evidence=ev3,
+    )
+    assert "units_total" not in ev3
+    exp3 = df.where((df.k >= "000500") | (df.price > Decimal("100.00"))).count()
+    assert dec3.count() == exp3 > 0
+
+
+def test_key_range_from_terms_algebra():
+    from universal_parquet_exporter_spark.encode.pipeline import key_range_from_terms
+
+    assert key_range_from_terms([("k", ">=", "b"), ("k", "<", "g")], "k") == ("b", "g")
+    assert key_range_from_terms([("k", "=", "m")], "k") == ("m", "m")
+    assert key_range_from_terms([("k", "startswith", "ab")], "k") == ("ab", None)
+    assert key_range_from_terms([("k", "in", ("d", "b", "f"))], "k") == ("b", "f")
+    assert key_range_from_terms([("x", ">=", "b")], "k") == (None, None)
+    assert key_range_from_terms([("k", ">=", 5)], "k") == (None, None)  # non-string

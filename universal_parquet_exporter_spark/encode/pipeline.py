@@ -1299,6 +1299,39 @@ def _filter_groups(filters) -> list[list[tuple]]:
     return groups
 
 
+def key_range_from_terms(terms, key_col: str) -> tuple[str | None, str | None]:
+    """Tightest ``[lo, hi]`` (None = open) the KEY-column terms of ONE
+    conjunction imply: ``>``/``>=``/``=`` contribute ``lo`` (strict
+    bounds stay a superset — the residual filter is exact), ``<``/
+    ``<=``/``=`` contribute ``hi``, ``startswith p`` contributes
+    ``lo = p`` only (every match is ≥ its own prefix; a sound upper
+    bound needs prefix-successor arithmetic the unit pruner doesn't
+    require), and a string IN-list contributes its [min, max].
+    Non-string operands never contribute (the key domain is string).
+    Shared by the ``upe_encoded`` reader's pushFilters path and
+    :func:`decode_dataset`'s filter-driven unit pruning."""
+    lo = hi = None
+    for col, op, v in terms:
+        if col != key_col:
+            continue
+        if op == "in" and isinstance(v, (tuple, list)) and v and all(
+            isinstance(x, str) for x in v
+        ):
+            vlo, vhi = min(v), max(v)
+            lo = vlo if lo is None or vlo > lo else lo
+            hi = vhi if hi is None or vhi < hi else hi
+            continue
+        if not isinstance(v, str):
+            continue
+        if op in (">", ">=", "=", "=="):
+            lo = v if lo is None or v > lo else lo
+        if op in ("<", "<=", "=", "=="):
+            hi = v if hi is None or v < hi else hi
+        if op == "startswith":
+            lo = v if lo is None or v > lo else lo
+    return lo, hi
+
+
 _JSON_PATH_SAFE = None  # compiled lazily (module import stays light)
 
 
@@ -1552,6 +1585,13 @@ def decode_dataset(
     out-of-range-key scan (``key < a OR key >= b``) and the
     multi-category scan are the intended shapes.
 
+    Terms on the PLAN's key column additionally prune whole encode
+    UNITS (each group's implied key range via
+    :func:`key_range_from_terms`, unioned across the disjunction) —
+    the same layer an explicit ``key_range`` drives, fired before any
+    chunk statistics are consulted; with ``pruning_evidence`` the
+    unit-level counts ship as ``units_total``/``units_qualifying``.
+
     Schema evolution (additive): appends may add or omit columns — the
     output schema is the union-by-name over all chunk generations
     (meta-only probes), and generations that predate a column read back
@@ -1583,6 +1623,32 @@ def decode_dataset(
         units = units_for_key_range(plan, key_range[0], key_range[1])
         enc = enc.where(_units_condition(units))
 
+    # filter-driven UNIT pruning: terms on the plan's key column imply a
+    # key range per DNF group; the union of each group's qualifying
+    # units is a conservative superset of where matches can live (the
+    # same algebra as the upe_encoded reader's pushFilters path),
+    # applied before any chunk statistics are consulted.  A group whose
+    # key terms leave both bounds open keeps every unit, disabling this
+    # layer for the whole disjunction; datasets without a plan skip it.
+    fgroups = _filter_groups(filters) if filters else []
+    if fgroups:
+        fplan = _load_plan(output_dir)
+        if fplan is not None:
+            from ..plans.partitioning import units_for_key_range
+
+            funits: set | None = set()
+            for g in fgroups:
+                f_lo, f_hi = key_range_from_terms(g, fplan.key_col)
+                if f_lo is None and f_hi is None:
+                    funits = None
+                    break
+                funits.update(units_for_key_range(fplan, f_lo, f_hi))
+            if funits is not None:
+                if pruning_evidence is not None:
+                    pruning_evidence["units_total"] = int(sum(fplan.salts))
+                    pruning_evidence["units_qualifying"] = len(funits)
+                enc = enc.where(_units_condition(sorted(funits)))
+
     # one meta-only probe per distinct column-name set (derived from the
     # manifest's own codecs maps — no payload read), unioned by name:
     # schema evolution means different chunk generations may carry
@@ -1598,7 +1664,6 @@ def decode_dataset(
     out_schema = _arrow_to_ddl(probe, columns)
     want_fields = [probe.field(c) for c in columns] if columns else list(probe)
 
-    fgroups = _filter_groups(filters) if filters else []
     if filters:
         for c, op, _v in (t for g in fgroups for t in g):
             if op not in _FILTER_OPS:

@@ -111,6 +111,7 @@ from ..encode.pipeline import (
     _payload_fs,
     _union_probe_schema,
     date_value_days,
+    key_range_from_terms,
     manifest_dir,
     next_manifest_name as _next_manifest_name,
     set_manifest_dir,
@@ -318,22 +319,10 @@ def _terms_from_filters(filters) -> list[tuple[str, str, object]]:
 
 
 def _key_range_from_terms(terms, key_col: str) -> tuple[str | None, str | None]:
-    """Tightest ``[lo, hi]`` the key-column terms imply (None = open).
-    ``>`` contributes its operand as ``lo`` (superset — the exact strict
-    bound is Spark's residual), ``startswith p`` contributes ``lo = p``
-    only (every match is ≥ its own prefix; a sound upper bound needs
-    prefix-successor arithmetic the unit pruner doesn't require)."""
-    lo = hi = None
-    for col, op, v in terms:
-        if col != key_col or not isinstance(v, str):
-            continue
-        if op in (">", ">=", "="):
-            lo = v if lo is None or v > lo else lo
-        if op in ("<", "<=", "="):
-            hi = v if hi is None or v < hi else hi
-        if op == "startswith":
-            lo = v if lo is None or v > lo else lo
-    return lo, hi
+    """One algebra for both scan paths: delegates to the engine's
+    :func:`~..encode.pipeline.key_range_from_terms` (also used by
+    ``decode_dataset``'s filter-driven unit pruning)."""
+    return key_range_from_terms(terms, key_col)
 
 
 def _normalize_terms(terms, schema: pa.Schema):
