@@ -531,3 +531,101 @@ def test_write_cluster_by_unknown_column_fails(spark, tmp_path):
             .mode("append")
             .save(out)
         )
+
+
+def test_stream_read_rate_limit_offsets(spark, tmp_path):
+    """max_runs_per_batch caps each micro-batch at N commits: successive
+    latestOffset calls walk the committed-run order one capped step at a
+    time (the maxFilesPerTrigger analog), and a restart replay seeds the
+    cursor through partitions() so the cap resumes from the checkpoint
+    interval, not from zero."""
+    sds.register(spark)
+    out = str(tmp_path / "sr_rate")
+    docs = _docs(spark)
+    cfg = EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    encode_job(spark, docs.where("doc_id < '2'"), cfg)
+    for cond in ("doc_id >= '2' and doc_id < '5'", "doc_id >= '5'"):
+        docs.where(cond).write.format("upe_encoded").option(
+            "key_col", "doc_id"
+        ).mode("append").save(out)
+    order = sds._committed_run_order(out)
+    assert len(order) == 3
+
+    r = sds._EncodedStreamReader({"path": out, "max_runs_per_batch": "1"})
+    start = r.initialOffset()
+    offs = [start]
+    for _ in range(3):
+        offs.append(r.latestOffset())
+    # one commit per step, then no further progress
+    for i, (ts, run) in enumerate(order):
+        assert (offs[i + 1]["ts"], offs[i + 1]["run"]) == (ts, run)
+    assert r.latestOffset() == offs[-1]
+    # every capped interval plans exactly its one run's rows
+    n = 0
+    for s, e in zip(offs, offs[1:]):
+        for part in r.partitions(s, e):
+            n += sum(nr for *_x, slices in part.chunks for _off, nr in slices)
+    assert n == docs.count()
+
+    # restart: a fresh reader (no initialOffset) replays the checkpoint
+    # interval via partitions(), which seeds the cursor — the next
+    # latestOffset advances ONE commit past it, not to the high-water
+    r2 = sds._EncodedStreamReader({"path": out, "max_runs_per_batch": "1"})
+    r2.partitions(offs[0], offs[1])
+    nxt = r2.latestOffset()
+    assert (nxt["ts"], nxt["run"]) == order[1]
+
+
+def test_stream_read_rate_limit_end_to_end(spark, tmp_path):
+    """Through a real running query: Spark's Python stream protocol
+    snapshots latestOffset before the cursor is known, so batch 0 is
+    uncapped (documented); commits arriving WHILE the stream runs — the
+    steady-state ingest case the cap exists for — are admitted at most
+    max_runs_per_batch commits per micro-batch, exactly once."""
+    import time
+
+    sds.register(spark)
+    out = str(tmp_path / "sr_rate_e2e")
+    ck = str(tmp_path / "sr_rate_ck")
+    docs = _docs(spark)
+    cfg = EncodeJobConfig(output_dir=out, key_col="doc_id", size_cols=("text",))
+    encode_job(spark, docs.where("doc_id < '2'"), cfg)
+    n_first = docs.where("doc_id < '2'").count()
+
+    seen: list[tuple[int, int]] = []
+    q = (
+        spark.readStream.format("upe_encoded")
+        .option("max_runs_per_batch", "1")
+        .load(out)
+        .writeStream.foreachBatch(lambda bdf, bid: seen.append((bid, bdf.count())))
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 60 and sum(c for _, c in seen) < n_first:
+            time.sleep(1)
+        assert sum(c for _, c in seen) == n_first  # batch 0 drained
+
+        # three commits land while the stream runs
+        conds = (
+            "doc_id >= '2' and doc_id < '4'",
+            "doc_id >= '4' and doc_id < '6'",
+            "doc_id >= '6'",
+        )
+        sizes = []
+        for cond in conds:
+            docs.where(cond).write.format("upe_encoded").option(
+                "key_col", "doc_id"
+            ).mode("append").save(out)
+            sizes.append(docs.where(cond).count())
+        t0 = time.time()
+        while time.time() - t0 < 120 and sum(c for _, c in seen) < docs.count():
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sum(c for _, c in seen) == docs.count()  # exactly once, no loss
+    tail = [c for _, c in seen if c > 0][1:]  # batches after batch 0
+    # capped: every steady-state batch admits at most ONE commit's rows
+    assert len(tail) >= 3 and all(c <= max(sizes) for c in tail)

@@ -760,19 +760,43 @@ class _EncodedStreamReader(DataSourceStreamReader):
         self.starting = options.get("starting", "earliest").lower()
         if self.starting not in ("earliest", "latest"):
             raise ValueError(f"starting must be earliest|latest, got {self.starting!r}")
+        # admission control (the maxFilesPerTrigger analog): cap each
+        # micro-batch at this many COMMITS.  The Python stream protocol
+        # requests latestOffset BEFORE the initial/checkpoint cursor is
+        # visible to the reader (measured: in every trigger mode,
+        # including the availableNow single-batch fallback), so the
+        # FIRST batch of each query run is necessarily uncapped —
+        # capping blind would return an offset possibly BEHIND the
+        # checkpoint, which regresses the offset log and re-emits data.
+        # The cap therefore bounds STEADY-STATE admission: once the
+        # cursor is known (initialOffset, a planned interval, or a
+        # previous latestOffset), each further batch admits at most
+        # max_runs commits (0 = unlimited).
+        self.max_runs = int(options.get("max_runs_per_batch", 0))
+        self._cursor: tuple[int, str] | None = None
 
     # -- offsets -------------------------------------------------------
     def initialOffset(self) -> dict:
         if self.starting == "latest":
             return self.latestOffset()
+        self._cursor = (-1, "")
         return {"gen": _current_generation(self.path), "ts": -1, "run": ""}
 
     def latestOffset(self) -> dict:
+        gen = _current_generation(self.path)
         order = _committed_run_order(self.path)
         if not order:
-            return {"gen": _current_generation(self.path), "ts": -1, "run": ""}
+            self._cursor = (-1, "")
+            return {"gen": gen, "ts": -1, "run": ""}
         ts, run = order[-1]
-        return {"gen": _current_generation(self.path), "ts": ts, "run": run}
+        if self.max_runs > 0 and self._cursor is not None:
+            pending = [x for x in order if x > self._cursor]
+            if pending:
+                ts, run = pending[min(self.max_runs, len(pending)) - 1]
+            else:
+                ts, run = self._cursor
+        self._cursor = (ts, run)
+        return {"gen": gen, "ts": ts, "run": run}
 
     # -- planning (driver) ----------------------------------------------
     def partitions(self, start: dict, end: dict):
@@ -791,6 +815,11 @@ class _EncodedStreamReader(DataSourceStreamReader):
                 )
         lo = (int(start.get("ts", -1)), start.get("run", ""))
         hi = (int(end.get("ts", -1)), end.get("run", ""))
+        if self._cursor is None or hi > self._cursor:
+            # restart replay: Spark re-plans the checkpointed interval
+            # before asking for a new offset — seed the admission-control
+            # cursor from it so the NEXT batch caps from the right place
+            self._cursor = hi
         runs = [r for t, r in _committed_run_order(self.path) if lo < (t, r) <= hi]
         payload_dir = os.path.join(self.path, "payload")
         man = _committed_manifest(self.path)
